@@ -26,8 +26,17 @@ object VerifyDrive {
     val mraU = udf((s: String) => MatchRatingApproach.encode(s))
     val refinedU = udf((s: String) => RefinedSoundex.default.encode(s))
 
+    val dmU = udf((s: String) =>
+      DaitchMokotoff.default.innerSoundex(s, branching = true))
+    val dblU = udf { (s: String) =>
+      val r = DoubleMetaphone.default.doubleMetaphone(s)
+      Seq(r.primary, r.alternate)
+    }
+
     val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
       .select(col("c_name"))
+      .withColumn("dm_codes", dmU($"c_name"))
+      .withColumn("double_metaphone", dblU($"c_name"))
       .withColumn("soundex", soundexU($"c_name"))
       .withColumn("refined", refinedU($"c_name"))
       .withColumn("metaphone", metaphoneU($"c_name"))
