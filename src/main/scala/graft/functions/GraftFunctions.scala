@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration + Column API for the phonetic Catalyst expressions.
+  *
+  * Register once per session (`GraftFunctions.register(spark)`) — or via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — then use either
+  * the Column helpers below or SQL (`SELECT graft_soundex(name) ...`).
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
+  private def boolLit(e: Expression): Boolean =
+    e.eval().asInstanceOf[Boolean]
+
+  /** (name, builder, usage) for every function. */
+  val builders: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("graft_soundex", args => SoundexExpr(args.head),
+      "graft_soundex(str) - American Soundex (commons-codec semantics incl. H/W rule)"),
+    ("graft_soundex_genealogy", args => SoundexGenealogyExpr(args.head),
+      "graft_soundex_genealogy(str) - Soundex with the genealogy.com mapping"),
+    ("graft_refined_soundex", args => RefinedSoundexExpr(args.head),
+      "graft_refined_soundex(str) - Refined Soundex"),
+    ("graft_metaphone", {
+      case Seq(c) => MetaphoneExpr(c, 4)
+      case Seq(c, l) => MetaphoneExpr(c, intLit(l))
+    }, "graft_metaphone(str[, maxLen]) - Metaphone; maxLen<=0 for unbounded"),
+    ("graft_double_metaphone", {
+      case Seq(c) => DoubleMetaphoneExpr(c, 4)
+      case Seq(c, l) => DoubleMetaphoneExpr(c, intLit(l))
+    }, "graft_double_metaphone(str[, maxLen]) - array(primary, alternate)"),
+    ("graft_double_metaphone_primary",
+      args => DoubleMetaphonePrimaryExpr(args.head),
+      "graft_double_metaphone_primary(str)"),
+    ("graft_double_metaphone_alternate",
+      args => DoubleMetaphoneAlternateExpr(args.head),
+      "graft_double_metaphone_alternate(str)"),
+    ("graft_nysiis", {
+      case Seq(c) => NysiisExpr(c, strict = true)
+      case Seq(c, s) => NysiisExpr(c, boolLit(s))
+    }, "graft_nysiis(str[, strict]) - NYSIIS"),
+    ("graft_phonex", {
+      case Seq(c) => PhonexExpr(c, 4)
+      case Seq(c, l) => PhonexExpr(c, intLit(l))
+    }, "graft_phonex(str[, maxLen]) - Phonex"),
+    ("graft_cologne", args => CologneExpr(args.head),
+      "graft_cologne(str) - Koelner Phonetik"),
+    ("graft_caverphone1", args => Caverphone1Expr(args.head),
+      "graft_caverphone1(str) - Caverphone 1 (6 chars)"),
+    ("graft_caverphone2", args => Caverphone2Expr(args.head),
+      "graft_caverphone2(str) - Caverphone 2 (10 chars)"),
+    ("graft_mra_encode", args => MraEncodeExpr(args.head),
+      "graft_mra_encode(str) - Match Rating Approach codex"),
+    ("graft_mra_match", args => MraMatchExpr(args(0), args(1)),
+      "graft_mra_match(a, b) - MRA similarity-rating match decision"),
+    ("graft_mra_rating", args => MraRatingExpr(args(0), args(1)),
+      "graft_mra_rating(a, b) - MRA rating (6 best, -1 guard failure)"),
+    ("graft_dm_soundex", args => DmSoundexExpr(args.head),
+      "graft_dm_soundex(str) - Daitch-Mokotoff branching codes as array"),
+    ("graft_dm_encode", args => DmEncodeExpr(args.head),
+      "graft_dm_encode(str) - Daitch-Mokotoff single (non-branching) code"),
+    ("graft_soundex_difference", args => SoundexDifferenceExpr(args(0), args(1)),
+      "graft_soundex_difference(a, b) - positional overlap of soundex codes (0-4)"),
+    ("graft_refined_soundex_difference",
+      args => RefinedSoundexDifferenceExpr(args(0), args(1)),
+      "graft_refined_soundex_difference(a, b)"),
+    ("graft_jaro_winkler", args => JaroWinklerExpr(args(0), args(1)),
+      "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]"),
+    ("graft_minhash_signature", {
+      case Seq(c) => MinHashSignatureExpr(c, 64, 3)
+      case Seq(c, n) => MinHashSignatureExpr(c, intLit(n), 3)
+      case Seq(c, n, k) => MinHashSignatureExpr(c, intLit(n), intLit(k))
+    }, "graft_minhash_signature(text[, numHashes[, k]]) - MinHash signature of word k-shingles")
+  )
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder, _) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  // ---- Column API (requires register(spark) on the active session) ----
+  def graftSoundex(c: Column): Column = call_function("graft_soundex", c)
+  def graftRefinedSoundex(c: Column): Column =
+    call_function("graft_refined_soundex", c)
+  def graftMetaphone(c: Column): Column = call_function("graft_metaphone", c)
+  def graftDoubleMetaphone(c: Column): Column =
+    call_function("graft_double_metaphone", c)
+  def graftNysiis(c: Column): Column = call_function("graft_nysiis", c)
+  def graftPhonex(c: Column): Column = call_function("graft_phonex", c)
+  def graftCologne(c: Column): Column = call_function("graft_cologne", c)
+  def graftCaverphone1(c: Column): Column = call_function("graft_caverphone1", c)
+  def graftCaverphone2(c: Column): Column = call_function("graft_caverphone2", c)
+  def graftMraEncode(c: Column): Column = call_function("graft_mra_encode", c)
+  def graftMraMatch(a: Column, b: Column): Column =
+    call_function("graft_mra_match", a, b)
+  def graftMraRating(a: Column, b: Column): Column =
+    call_function("graft_mra_rating", a, b)
+  def graftDmSoundex(c: Column): Column = call_function("graft_dm_soundex", c)
+  def graftDmEncode(c: Column): Column = call_function("graft_dm_encode", c)
+  def graftSoundexDifference(a: Column, b: Column): Column =
+    call_function("graft_soundex_difference", a, b)
+  def graftJaroWinkler(a: Column, b: Column): Column =
+    call_function("graft_jaro_winkler", a, b)
+}
+
+/** `spark.sql.extensions`-pluggable registration. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.builders.foreach { case (name, builder, usage) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo("graft.functions.GraftFunctions", name, usage),
+          builder))
+    }
+  }
+}

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+import graft.phonetic._
+
+/** Static UTF8String-level entry points for the phonetic Catalyst
+  * expressions. Generated code calls these directly (the object compiles to
+  * static forwarders), keeping the expressions inside whole-stage codegen
+  * without per-row boxing beyond UTF8String <-> String.
+  */
+object PhoneticFunctions {
+
+  @inline private def out(s: String): UTF8String = UTF8String.fromString(s)
+
+  def soundex(u: UTF8String): UTF8String = out(Soundex.default.encode(u.toString))
+
+  def soundexGenealogy(u: UTF8String): UTF8String =
+    out(Soundex.genealogy.encode(u.toString))
+
+  def refinedSoundex(u: UTF8String): UTF8String =
+    out(RefinedSoundex.default.encode(u.toString))
+
+  def metaphone(u: UTF8String, maxLen: Int): UTF8String = {
+    val m = if (maxLen <= 0) Metaphone.unbounded else Metaphone(Some(maxLen))
+    out(m.encode(u.toString))
+  }
+
+  def doubleMetaphone(u: UTF8String, maxLen: Int): ArrayData = {
+    val dm =
+      if (maxLen <= 0) DoubleMetaphone.unbounded
+      else if (maxLen == 4) DoubleMetaphone.default
+      else DoubleMetaphone(Some(maxLen))
+    val r = dm.doubleMetaphone(u.toString)
+    new GenericArrayData(Array[Any](out(r.primary), out(r.alternate)))
+  }
+
+  def doubleMetaphonePrimary(u: UTF8String): UTF8String =
+    out(DoubleMetaphone.default.encode(u.toString))
+
+  def doubleMetaphoneAlternate(u: UTF8String): UTF8String =
+    out(DoubleMetaphone.default.encodeAlternate(u.toString))
+
+  def nysiis(u: UTF8String, strict: Boolean): UTF8String =
+    out((if (strict) Nysiis.default else Nysiis.nonStrict).encode(u.toString))
+
+  def phonex(u: UTF8String, maxLen: Int): UTF8String =
+    out((if (maxLen == 4) Phonex.default else Phonex(maxLen)).encode(u.toString))
+
+  def cologne(u: UTF8String): UTF8String = out(Cologne.encode(u.toString))
+
+  def caverphone1(u: UTF8String): UTF8String =
+    out(Caverphone1.encode(u.toString))
+
+  def caverphone2(u: UTF8String): UTF8String =
+    out(Caverphone2.encode(u.toString))
+
+  def mraEncode(u: UTF8String): UTF8String =
+    out(MatchRatingApproach.encode(u.toString))
+
+  def mraMatch(a: UTF8String, b: UTF8String): Boolean =
+    MatchRatingApproach.isEncodedEquals(a.toString, b.toString)
+
+  def mraRating(a: UTF8String, b: UTF8String): Int =
+    MatchRatingApproach.rating(a.toString, b.toString)
+
+  def dmSoundex(u: UTF8String): ArrayData = {
+    val codes = DaitchMokotoff.default.innerSoundex(u.toString, branching = true)
+    new GenericArrayData(codes.map(c => out(c): Any).toArray)
+  }
+
+  def dmEncode(u: UTF8String): UTF8String =
+    out(DaitchMokotoff.default.encode(u.toString))
+
+  def soundexDifference(a: UTF8String, b: UTF8String): Int =
+    Soundex.default.difference(a.toString, b.toString)
+
+  def refinedSoundexDifference(a: UTF8String, b: UTF8String): Int =
+    RefinedSoundex.default.difference(a.toString, b.toString)
+
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double =
+    JaroWinkler.similarity(a.toString, b.toString)
+}

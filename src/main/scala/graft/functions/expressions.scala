@@ -1,0 +1,287 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Catalyst expressions for the phonetic encoders.
+  *
+  * Each is a deterministic, null-safe expression that stays inside
+  * whole-stage codegen: `doGenCode` emits a direct static call into
+  * [[PhoneticFunctions]] (no ScalaUDF boxing, no CodegenFallback). The
+  * reference's `Encoder.encode` maps 1:1 onto these
+  * (ref: /root/reference/src/lib.rs:180-232).
+  */
+private object Gen {
+  val F = "graft.functions.PhoneticFunctions"
+}
+
+abstract class StringUnaryPhonetic extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  /** simple name of the static method in PhoneticFunctions */
+  def method: String
+  override protected def nullSafeEval(input: Any): Any = evalString(input)
+  protected def evalString(input: Any): Any
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${Gen.F}.$method($c)")
+}
+
+case class SoundexExpr(child: Expression) extends StringUnaryPhonetic {
+  override def method: String = "soundex"
+  override protected def evalString(input: Any): Any =
+    PhoneticFunctions.soundex(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_soundex"
+}
+
+case class SoundexGenealogyExpr(child: Expression) extends StringUnaryPhonetic {
+  override def method: String = "soundexGenealogy"
+  override protected def evalString(input: Any): Any =
+    PhoneticFunctions.soundexGenealogy(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_soundex_genealogy"
+}
+
+case class RefinedSoundexExpr(child: Expression) extends StringUnaryPhonetic {
+  override def method: String = "refinedSoundex"
+  override protected def evalString(input: Any): Any =
+    PhoneticFunctions.refinedSoundex(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_refined_soundex"
+}
+
+case class CologneExpr(child: Expression) extends StringUnaryPhonetic {
+  override def method: String = "cologne"
+  override protected def evalString(input: Any): Any =
+    PhoneticFunctions.cologne(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_cologne"
+}
+
+case class Caverphone1Expr(child: Expression) extends StringUnaryPhonetic {
+  override def method: String = "caverphone1"
+  override protected def evalString(input: Any): Any =
+    PhoneticFunctions.caverphone1(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_caverphone1"
+}
+
+case class Caverphone2Expr(child: Expression) extends StringUnaryPhonetic {
+  override def method: String = "caverphone2"
+  override protected def evalString(input: Any): Any =
+    PhoneticFunctions.caverphone2(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_caverphone2"
+}
+
+case class MraEncodeExpr(child: Expression) extends StringUnaryPhonetic {
+  override def method: String = "mraEncode"
+  override protected def evalString(input: Any): Any =
+    PhoneticFunctions.mraEncode(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_mra_encode"
+}
+
+case class DmEncodeExpr(child: Expression) extends StringUnaryPhonetic {
+  override def method: String = "dmEncode"
+  override protected def evalString(input: Any): Any =
+    PhoneticFunctions.dmEncode(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_dm_encode"
+}
+
+case class DoubleMetaphonePrimaryExpr(child: Expression) extends StringUnaryPhonetic {
+  override def method: String = "doubleMetaphonePrimary"
+  override protected def evalString(input: Any): Any =
+    PhoneticFunctions.doubleMetaphonePrimary(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_double_metaphone_primary"
+}
+
+case class DoubleMetaphoneAlternateExpr(child: Expression) extends StringUnaryPhonetic {
+  override def method: String = "doubleMetaphoneAlternate"
+  override protected def evalString(input: Any): Any =
+    PhoneticFunctions.doubleMetaphoneAlternate(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_double_metaphone_alternate"
+}
+
+/** NYSIIS with a strict flag folded in at plan time. */
+case class NysiisExpr(child: Expression, strict: Boolean)
+    extends StringUnaryPhonetic {
+  override def method: String = "nysiis"
+  override protected def evalString(input: Any): Any =
+    PhoneticFunctions.nysiis(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], strict)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${Gen.F}.nysiis($c, $strict)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nysiis"
+}
+
+case class PhonexExpr(child: Expression, maxCodeLength: Int)
+    extends StringUnaryPhonetic {
+  override def method: String = "phonex"
+  override protected def evalString(input: Any): Any =
+    PhoneticFunctions.phonex(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], maxCodeLength)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${Gen.F}.phonex($c, $maxCodeLength)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_phonex"
+}
+
+case class MetaphoneExpr(child: Expression, maxCodeLength: Int)
+    extends StringUnaryPhonetic {
+  override def method: String = "metaphone"
+  override protected def evalString(input: Any): Any =
+    PhoneticFunctions.metaphone(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], maxCodeLength)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${Gen.F}.metaphone($c, $maxCodeLength)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_metaphone"
+}
+
+/** Double Metaphone as array<string> [primary, alternate] — exploded for
+  * multi-block membership per the north rule.
+  */
+case class DoubleMetaphoneExpr(child: Expression, maxCodeLength: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    PhoneticFunctions.doubleMetaphone(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], maxCodeLength)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${Gen.F}.doubleMetaphone($c, $maxCodeLength)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_double_metaphone"
+}
+
+/** Daitch-Mokotoff branching codes as array<string>. */
+case class DmSoundexExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    PhoneticFunctions.dmSoundex(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${Gen.F}.dmSoundex($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_dm_soundex"
+}
+
+abstract class StringBinaryPhonetic extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string arguments, got " +
+        s"(${left.dataType}, ${right.dataType})")
+  def method: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${Gen.F}.$method($a, $b)")
+}
+
+/** MRA similarity-rating comparator (ref:
+  * /root/reference/src/match_rating_approach.rs:202-228) — the pairwise
+  * scoring predicate applied post-blocking.
+  */
+case class MraMatchExpr(left: Expression, right: Expression)
+    extends StringBinaryPhonetic {
+  override def method: String = "mraMatch"
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PhoneticFunctions.mraMatch(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_mra_match"
+}
+
+case class MraRatingExpr(left: Expression, right: Expression)
+    extends StringBinaryPhonetic {
+  override def method: String = "mraRating"
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PhoneticFunctions.mraRating(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_mra_rating"
+}
+
+/** SoundexCommons::difference (ref: /root/reference/src/lib.rs:294-310). */
+case class SoundexDifferenceExpr(left: Expression, right: Expression)
+    extends StringBinaryPhonetic {
+  override def method: String = "soundexDifference"
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PhoneticFunctions.soundexDifference(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_soundex_difference"
+}
+
+case class RefinedSoundexDifferenceExpr(left: Expression, right: Expression)
+    extends StringBinaryPhonetic {
+  override def method: String = "refinedSoundexDifference"
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PhoneticFunctions.refinedSoundexDifference(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_refined_soundex_difference"
+}
+
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends StringBinaryPhonetic {
+  override def method: String = "jaroWinkler"
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PhoneticFunctions.jaroWinkler(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_jaro_winkler"
+}

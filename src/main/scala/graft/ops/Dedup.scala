@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard verification. Declarative
+  * Spark throughout: the MinHash signature is a single codegen'd
+  * projection (no UDAF), LSH banding is an explode + shuffle on band
+  * hashes, and candidate verification is an equi-join — the shape that
+  * scales to 10^12 rows because nothing ever materializes O(n^2).
+  */
+object Dedup {
+
+  /** Exact dedup: group identical normalized content, keep the smallest id
+    * as canonical. Output: (id, canonical_id, group_size).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val key = TextAnalysis.fingerprintCol(col(textCol))
+    val w = Window.partitionBy("fp")
+    df.select(col(idCol).as("id"), key.as("fp"))
+      .withColumn("canonical_id", min("id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .drop("fp")
+  }
+
+  /** Word k-shingles of a text column as array<string>. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val words = split(lower(trim(text)), "\\W+")
+    when(size(words) < k, array(concat_ws(" ", words)))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(words) - k),
+          i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature — single-pass custom expression (see
+    * graft.functions.MinHashSignatureExpr): the declarative
+    * transform/array_min formulation re-runs the tokenizer inside
+    * interpreted lambdas, O(numHashes x shingles) regex runs per row.
+    */
+  def minhashSignature(text: Column, numHashes: Int = 64, k: Int = 3): Column =
+    graft.functions.MinHash.signature(text, numHashes, k)
+
+  /** MinHash + LSH banding: emits candidate near-dup pairs (id_a < id_b)
+    * that share at least one band bucket, with their estimated Jaccard
+    * (signature agreement rate). Join is per-bucket sorted-neighborhood
+    * free: buckets are small by construction (bands of wide hashes).
+    *
+    * @param bands  number of LSH bands; rows per band = numHashes / bands.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "bands must divide numHashes")
+
+    val sigs = df
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes).as("sig"))
+
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_",
+            slice(col("sig"), b * rows + 1, lit(rows))), b.cast("string")))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+    val capped = banded
+      .withColumn("bucket_size",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .where(col("bucket_size") <= maxBucketSize)
+      .drop("bucket_size")
+
+    val left = capped.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val right = capped.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+
+    left
+      .join(right, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(
+          size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), b => b))
+            .cast("double") / size(col("sig_a")), 6)
+          .as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Character n-grams of a string column as a distinct array. */
+  def charNgrams(c: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
+        i => c.substr(i, lit(n))))
+
+  /** Character n-gram Jaccard similarity between two text columns —
+    * the exact verifier behind MinHash estimates.
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val ga = charNgrams(a, n)
+    val gb = charNgrams(b, n)
+    val inter = size(array_intersect(ga, gb)).cast("double")
+    val uni = size(array_union(ga, gb)).cast("double")
+    round(when(uni === 0, 0.0).otherwise(inter / uni), 6)
+  }
+
+  /** SimHash (64-bit) of a text column: per-bit majority vote over token
+    * hashes, assembled declaratively (64 conditional sums — one codegen'd
+    * aggregate, no UDAF).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(
+      col(idCol).as("id"),
+      explode(split(lower(trim(col(textCol))), "\\W+")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .withColumn("h", xxhash64(col("tok")))
+
+    val bitVotes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"bit_$b")
+    }
+    val voted = tokens.groupBy("id").agg(bitVotes.head, bitVotes.tail: _*)
+    val assembled = (0 until 64)
+      .map(b =>
+        when(col(s"bit_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    voted.select(col("id"), assembled.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * declarative Spark (codegen'd built-ins) — no UDFs — so they push down,
+  * prune, and survive 100TB scans.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword signatures for the n-gram/stopword
+    * language-ID heuristic (deterministic, embedded — no external model).
+    */
+  private val StopwordSignatures: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " to ", " in ", " is "),
+    "de" -> Seq(" der ", " die ", " und ", " das ", " ist ", " nicht "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " des ", " est "),
+    "es" -> Seq(" el ", " la ", " los ", " que ", " y ", " es "))
+
+  /** Heuristic language ID over a text column: counts stopword-signature
+    * hits per language, returns the argmax (or "und" when nothing hits).
+    */
+  def langIdCol(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = StopwordSignatures.toSeq.sortBy(_._1).map {
+      case (lang, words) =>
+        val hits = words
+          .map(w =>
+            size(split(padded, java.util.regex.Pattern.quote(w), -1)) - 1)
+          .reduce(_ + _)
+        struct(hits.cast("int").as("hits"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Quality features: char length, token count, punctuation ratio,
+    * uppercase ratio, mean token length, and a composite [0,1] score.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    val tokens = tokenCountCol(t).cast("double")
+    val punct = length(regexp_replace(t, "[^!?.,;:]", "")).cast("double")
+    val upper = length(regexp_replace(t, "[^A-Z]", "")).cast("double")
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_tokens", tokens)
+      .withColumn("punct_ratio", round(punct / greatest(nChars, lit(1.0)), 6))
+      .withColumn("upper_ratio", round(upper / greatest(nChars, lit(1.0)), 6))
+      .withColumn("mean_token_len",
+        round(nChars / greatest(tokens, lit(1.0)), 6))
+      .withColumn("quality_score",
+        round(
+          when(nChars < 10, 0.0)
+            .otherwise(
+              lit(1.0)
+                - least(lit(1.0), col("punct_ratio") * 5)
+                * lit(0.3)
+                - least(lit(1.0), col("upper_ratio") * 3) * lit(0.2)),
+          6))
+  }
+
+  /** Whitespace token count (split semantics match ANSI regexp split). */
+  def tokenCountCol(text: Column): Column =
+    size(split(text, "\\s+"))
+
+  /** BPE-ish subword count: alphanumeric runs + standalone punctuation. */
+  def subwordCountCol(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Normalized-content fingerprint: md5 of whitespace-collapsed,
+    * lowercased text — the exact-dup key robust to formatting noise.
+    */
+  def fingerprintCol(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+}

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.TableIO
+
+/** The record-linkage pipeline (north rule): read repo-file table ->
+  * tokenize -> phonetic blocking keys (exploded multi-code) -> salted/
+  * capped candidate pairs -> batch pairwise scoring -> edges -> transitive
+  * closure -> (file_id, cluster_id), every stage checkpointed through
+  * [[TableIO]] so a killed job resumes from the last committed snapshot.
+  *
+  * The per-row `content_sha` (sha2-256 of content) is carried from the
+  * input to the final output; `shaInvariantHolds` proves no row was
+  * corrupted or dropped across the stages.
+  */
+final class LinkagePipeline(
+    spark: SparkSession,
+    io: TableIO,
+    maxBlockSize: Int = 10000,
+    neighborWindow: Int = 3) {
+
+  graft.functions.GraftFunctions.register(spark)
+
+  /** Run (or resume) the full pipeline over `files`
+    * (file_id, repo, path, commit, lang, content[, content_sha]).
+    * Returns (file_id, repo, path, commit, lang, content_sha, cluster_id).
+    */
+  def run(files: DataFrame): DataFrame = {
+    val input = io.stage("input") {
+      val withSha =
+        if (files.columns.contains("content_sha")) files
+        else files.withColumn("content_sha", sha2(col("content"), 256))
+      withSha
+    }
+
+    val tokens = io.stage("tokens", upstream = Seq("input")) {
+      Tokenizer.tokenize(input)
+    }
+
+    val keys = io.stage("blocking_keys", upstream = Seq("tokens")) {
+      Blocking.blockingKeys(tokens)
+    }
+
+    val pairs = io.stage("candidate_pairs", upstream = Seq("blocking_keys")) {
+      Blocking.candidatePairs(keys, maxBlockSize, neighborWindow)
+    }
+
+    val scored = io.stage("scored_pairs", upstream = Seq("candidate_pairs")) {
+      Scoring.score(pairs)
+    }
+
+    val edges = io.stage("edges", upstream = Seq("scored_pairs")) {
+      Scoring.edges(scored)
+    }
+
+    val clusters = io.stage("clusters", upstream = Seq("edges", "input")) {
+      ConnectedComponents.run(
+        spark,
+        input.select("file_id"),
+        edges)
+    }
+
+    io.stage("resolved", upstream = Seq("clusters", "input")) {
+      input
+        .select("file_id", "repo", "path", "commit", "lang", "content_sha")
+        .join(clusters, "file_id")
+    }
+  }
+
+  /** Per-row sha256(content) equality between pipeline output and input. */
+  def shaInvariantHolds(files: DataFrame, resolved: DataFrame): Boolean = {
+    val expected = files
+      .select(col("file_id"),
+        sha2(col("content"), 256).as("expected_sha"))
+    val mismatches = resolved
+      .join(expected, Seq("file_id"), "full")
+      .where(
+        col("content_sha").isNull || col("expected_sha").isNull ||
+          col("content_sha") =!= col("expected_sha"))
+      .limit(1)
+      .count()
+    mismatches == 0
+  }
+}

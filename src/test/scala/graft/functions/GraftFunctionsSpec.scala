@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSessionTestWrapper
+
+/** Round-trips every Catalyst expression through df.select and SQL,
+  * including null-safety and codegen paths.
+  */
+class GraftFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionTestWrapper.spark
+
+  test("all unary functions via SQL, incl null handling") {
+    import spark.implicits._
+    val df = Seq("Washington", "Smith", "müller", null).toDF("name")
+    df.createOrReplaceTempView("names")
+    val rows = spark
+      .sql("""SELECT
+        graft_soundex(name) AS sx,
+        graft_refined_soundex(name) AS rs,
+        graft_metaphone(name) AS mp,
+        graft_double_metaphone(name) AS dmp,
+        graft_nysiis(name) AS ny,
+        graft_phonex(name) AS px,
+        graft_cologne(name) AS co,
+        graft_caverphone1(name) AS c1,
+        graft_caverphone2(name) AS c2,
+        graft_mra_encode(name) AS mra,
+        graft_dm_soundex(name) AS dm,
+        graft_dm_encode(name) AS dme
+      FROM names""")
+      .collect()
+
+    val w = rows(0)
+    assert(w.getString(0) == "W252")
+    assert(w.getString(2) == "WXNK")
+    assert(w.getSeq[String](3).nonEmpty)
+    assert(w.getString(4) == "WASANG")
+
+    val s = rows(1)
+    assert(s.getString(0) == "S530")
+    assert(s.getString(9) == "SMTH")
+
+    val m = rows(2)
+    assert(m.getString(6) == "657") // Cologne müller
+
+    val n = rows(3)
+    (0 until 12).foreach(i => assert(n.isNullAt(i), s"col $i should be null"))
+  }
+
+  test("binary functions") {
+    import spark.implicits._
+    val df = Seq(("Smith", "Smyth"), ("Karl", "Alessandro")).toDF("a", "b")
+    df.createOrReplaceTempView("pairs")
+    val rows = spark
+      .sql("""SELECT graft_mra_match(a, b), graft_mra_rating(a, b),
+        graft_soundex_difference(a, b), graft_jaro_winkler(a, b)
+        FROM pairs""")
+      .collect()
+    assert(rows(0).getBoolean(0))
+    assert(rows(0).getInt(2) == 4)
+    assert(math.abs(rows(0).getDouble(3) - 0.8933333333333333) < 1e-12)
+    assert(!rows(1).getBoolean(0))
+  }
+
+  test("explode of array codes lands one name in multiple blocks") {
+    import spark.implicits._
+    val df = Seq("AUERBACH").toDF("name")
+    val blocks = df
+      .select(explode(GraftFunctions.graftDmSoundex($"name")).as("code"))
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    assert(blocks == Set("097400", "097500"))
+  }
+
+  test("column API + metaphone options") {
+    import spark.implicits._
+    val df = Seq("synchronization").toDF("name")
+    val r = df
+      .select(
+        call_function("graft_metaphone", $"name", lit(0)).as("unbounded"),
+        GraftFunctions.graftMetaphone($"name").as("m4"))
+      .head()
+    assert(r.getString(0) == "SNXRNSXN")
+    assert(r.getString(1) == "SNXR")
+  }
+
+  test("expressions stay codegen-friendly (no ScalaUDF in plan)") {
+    import spark.implicits._
+    val df = Seq("Washington").toDF("name")
+      .select(GraftFunctions.graftSoundex($"name").as("k"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+}

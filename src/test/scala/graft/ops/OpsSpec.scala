@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkSessionTestWrapper
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionTestWrapper.spark
+
+  test("exact dedup groups formatting variants") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello world  foo"),
+      (2L, "hello   world foo"),
+      (3L, "  Hello World foo "),
+      (4L, "something else entirely")).toDF("id", "text")
+    val out = Dedup.exact(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (1L, 3L))
+    assert(out(2L) == (1L, 3L))
+    assert(out(3L) == (1L, 3L))
+    assert(out(4L) == (4L, 1L))
+  }
+
+  test("minhash finds near-duplicates, skips unrelated") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep green forest while nobody watches it"
+    val near = base.replace("quick", "fast")
+    val other = "completely different content about database systems and " +
+      "distributed query engines processing large volumes of data daily"
+    val df = Seq((1L, base), (2L, near), (3L, other), (4L, base))
+      .toDF("doc_id", "text")
+    val cands = Dedup
+      .minhashCandidates(df, "doc_id", "text", numHashes = 64, bands = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(cands.contains((1L, 4L)) && cands((1L, 4L)) == 1.0)
+    assert(cands.contains((1L, 2L)) && cands((1L, 2L)) > 0.5)
+    assert(!cands.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash hamming distance small for near-dups") {
+    import spark.implicits._
+    val base = "spark is a unified analytics engine for large scale data"
+    val near = "spark is a unified analytics engine for large scale work"
+    val far = "cats meow dogs bark birds sing fish swim worms dig"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val sh = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+    assert(ham(sh(1L), sh(2L)) <= 16)
+  }
+
+  test("ngram jaccard") {
+    import spark.implicits._
+    val df = Seq(("abcdef", "abcdef"), ("abcdef", "uvwxyz")).toDF("a", "b")
+    val r = df.select(Dedup.ngramJaccard(col("a"), col("b")).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(r(0) == 1.0)
+    assert(r(1) == 0.0)
+  }
+}
+
+class SimilaritySearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionTestWrapper.spark
+
+  test("brute-force top-k finds the planted neighbor") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val base = Array.fill(dim)(rnd.nextFloat())
+    val nearly = base.clone(); nearly(0) += 0.01f
+    val vecs = (0L until 50L).map { i =>
+      if (i == 1L) (i, nearly)
+      else if (i == 0L) (i, base)
+      else (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val top = SimilaritySearch
+      .bruteForceTopK(vecs, vecs.where($"vec_id" === 0), "vec_id",
+        "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(top.head.getLong(1) == 1L, "planted neighbor must rank first")
+    assert(top.head.getDouble(2) > 0.999)
+  }
+
+  test("lsh top-k returns a subset with matching signature") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val vecs = (0L until 100L)
+      .map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val res = SimilaritySearch.lshTopK(vecs,
+      vecs.where($"vec_id" < 3), "vec_id", "embedding", dim = dim,
+      k = 5, nPlanes = 4)
+    // every returned neighbor must be a real vector and rank <= 5
+    val rows = res.collect()
+    assert(rows.forall(_.getInt(3) <= 5))
+    assert(rows.nonEmpty)
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionTestWrapper.spark
+
+  test("language id heuristic") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat is on the mat and the dog is in the house",
+      "der Hund ist nicht in das Haus und die Katze ist da",
+      "le chat est sur la table et les enfants sont la",
+      "xyzzy plugh 12345").toDF("text")
+    val langs = df.select(TextAnalysis.langIdCol(col("text")).as("l"))
+      .collect().map(_.getString(0))
+    assert(langs(0) == "en")
+    assert(langs(1) == "de")
+    assert(langs(2) == "fr")
+    assert(langs(3) == "und")
+  }
+
+  test("token counting and quality") {
+    import spark.implicits._
+    val df = Seq((1L, "one two  three"), (2L, "x")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityFeatures(df, "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getAs[Double]("n_tokens") == 3.0)
+    assert(q(2L).getAs[Double]("quality_score") == 0.0) // too short
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    import spark.implicits._
+    val df = Seq(("A  b\tC", "a b c")).toDF("x", "y")
+    val r = df.select(
+      (TextAnalysis.fingerprintCol(col("x")) ===
+        TextAnalysis.fingerprintCol(col("y"))).as("eq")).head()
+    assert(r.getBoolean(0))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionTestWrapper.spark
+
+  test("synthesize + extract features is deterministic and typed") {
+    val media = Multimodal.synthesize(spark, 30)
+    assert(media.schema.fieldNames.toSet ==
+      Multimodal.mediaSchema.fieldNames.toSet)
+    val f1 = Multimodal.extractFeatures(media, featureDim = 8)
+      .orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media, featureDim = 8)
+      .orderBy("media_id").collect()
+    assert(f1.length == 30)
+    assert(f1.map(_.getSeq[Float](2)).zip(f2.map(_.getSeq[Float](2)))
+      .forall { case (a, b) => a == b })
+  }
+
+  test("frame sampling explodes video rows") {
+    val media = Multimodal.synthesize(spark, 30)
+    val frames = Multimodal.sampleFrames(media, everyMs = 10000L)
+    assert(frames.count() >=
+      media.where(col("kind") === "video").count())
+  }
+}
