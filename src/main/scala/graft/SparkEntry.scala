@@ -171,6 +171,12 @@ object SparkEntry {
         .select(col("token"),
           explode(graftDmSoundex(col("token"))).as("code"))
     }),
+    "q_beider_morse" -> ((s, dir) => {
+      reg(s)
+      partTokens(s, dir)
+        .select(col("token"),
+          explode(graftBmCodes(col("token"))).as("code"))
+    }),
     "q_mra_match_pairs" -> ((s, dir) => {
       reg(s)
       val tok = partTokens(s, dir)

@@ -19,6 +19,8 @@ object GraftFunctions {
   private def boolLit(e: Expression): Boolean =
     e.eval().asInstanceOf[Boolean]
 
+  private def strLit(e: Expression): String = e.eval().toString
+
   /** (name, builder, usage) for every function. */
   val builders: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("graft_soundex", args => SoundexExpr(args.head),
@@ -72,6 +74,28 @@ object GraftFunctions {
       "graft_refined_soundex_difference(a, b)"),
     ("graft_jaro_winkler", args => JaroWinklerExpr(args(0), args(1)),
       "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]"),
+    ("graft_beider_morse", {
+      case Seq(c) => BeiderMorseExpr(c, "gen", "approx", concat = true, 20)
+      case Seq(c, nt) => BeiderMorseExpr(c, strLit(nt), "approx", concat = true, 20)
+      case Seq(c, nt, rt) =>
+        BeiderMorseExpr(c, strLit(nt), strLit(rt), concat = true, 20)
+      case Seq(c, nt, rt, cc) =>
+        BeiderMorseExpr(c, strLit(nt), strLit(rt), boolLit(cc), 20)
+      case Seq(c, nt, rt, cc, mp) =>
+        BeiderMorseExpr(c, strLit(nt), strLit(rt), boolLit(cc), intLit(mp))
+    }, "graft_beider_morse(str[, nameType, ruleType, concat, maxPhonemes]) - " +
+      "Beider-Morse encoding, '|'-joined variants"),
+    ("graft_bm_codes", {
+      case Seq(c) => BmCodesExpr(c, "gen", "approx", concat = true, 20)
+      case Seq(c, nt) => BmCodesExpr(c, strLit(nt), "approx", concat = true, 20)
+      case Seq(c, nt, rt) =>
+        BmCodesExpr(c, strLit(nt), strLit(rt), concat = true, 20)
+      case Seq(c, nt, rt, cc) =>
+        BmCodesExpr(c, strLit(nt), strLit(rt), boolLit(cc), 20)
+      case Seq(c, nt, rt, cc, mp) =>
+        BmCodesExpr(c, strLit(nt), strLit(rt), boolLit(cc), intLit(mp))
+    }, "graft_bm_codes(str[, nameType, ruleType, concat, maxPhonemes]) - " +
+      "Beider-Morse variants flattened to array<string> for explode()"),
     ("graft_minhash_signature", {
       case Seq(c) => MinHashSignatureExpr(c, 64, 3)
       case Seq(c, n) => MinHashSignatureExpr(c, intLit(n), 3)
@@ -105,6 +129,9 @@ object GraftFunctions {
   def graftMraRating(a: Column, b: Column): Column =
     call_function("graft_mra_rating", a, b)
   def graftDmSoundex(c: Column): Column = call_function("graft_dm_soundex", c)
+  def graftBeiderMorse(c: Column): Column =
+    call_function("graft_beider_morse", c)
+  def graftBmCodes(c: Column): Column = call_function("graft_bm_codes", c)
   def graftDmEncode(c: Column): Column = call_function("graft_dm_encode", c)
   def graftSoundexDifference(a: Column, b: Column): Column =
     call_function("graft_soundex_difference", a, b)

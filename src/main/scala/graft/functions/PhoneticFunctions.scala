@@ -81,4 +81,30 @@ object PhoneticFunctions {
 
   def jaroWinkler(a: UTF8String, b: UTF8String): Double =
     JaroWinkler.similarity(a.toString, b.toString)
+
+  /** Cache of Beider-Morse engines keyed by options; rule tables themselves
+    * are parsed once per JVM in [[graft.phonetic.bm.BmConfig.default]].
+    */
+  private val bmEngines =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Boolean, Int), bm.BeiderMorse]()
+
+  private def bmEngine(nameType: String, ruleType: String, concat: Boolean,
+      maxPhonemes: Int): bm.BeiderMorse =
+    bmEngines.computeIfAbsent((nameType, ruleType, concat, maxPhonemes), { k =>
+      new bm.BeiderMorse(bm.NameType.parse(k._1), bm.RuleType.parse(k._2),
+        k._3, k._4)
+    })
+
+  def beiderMorse(u: UTF8String, nameType: UTF8String, ruleType: UTF8String,
+      concat: Boolean, maxPhonemes: Int): UTF8String =
+    out(bmEngine(nameType.toString, ruleType.toString, concat, maxPhonemes)
+      .encode(u.toString))
+
+  def bmCodes(u: UTF8String, nameType: UTF8String, ruleType: UTF8String,
+      concat: Boolean, maxPhonemes: Int): ArrayData = {
+    val raw = bmEngine(nameType.toString, ruleType.toString, concat, maxPhonemes)
+      .encode(u.toString)
+    new GenericArrayData(
+      bm.BeiderMorse.splitCodes(raw).map(c => out(c): Any))
+  }
 }

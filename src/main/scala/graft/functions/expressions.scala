@@ -199,6 +199,63 @@ case class DmSoundexExpr(child: Expression)
   override def prettyName: String = "graft_dm_soundex"
 }
 
+/** Beider-Morse full encoding: `|`-joined phoneme alternatives, prefix
+  * groups as `(a|b)-(c|d)` (ref: /root/reference/src/beider_morse/mod.rs:209-221).
+  * Options are folded in at plan time.
+  */
+case class BeiderMorseExpr(child: Expression, nameType: String,
+    ruleType: String, concat: Boolean, maxPhonemes: Int)
+    extends StringUnaryPhonetic {
+  override def method: String = "beiderMorse"
+  override protected def evalString(input: Any): Any =
+    PhoneticFunctions.beiderMorse(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      org.apache.spark.unsafe.types.UTF8String.fromString(nameType),
+      org.apache.spark.unsafe.types.UTF8String.fromString(ruleType),
+      concat, maxPhonemes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nt = ctx.addReferenceObj("bmNameType",
+      org.apache.spark.unsafe.types.UTF8String.fromString(nameType))
+    val rt = ctx.addReferenceObj("bmRuleType",
+      org.apache.spark.unsafe.types.UTF8String.fromString(ruleType))
+    defineCodeGen(ctx, ev, c =>
+      s"${Gen.F}.beiderMorse($c, $nt, $rt, $concat, $maxPhonemes)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_beider_morse"
+}
+
+/** Beider-Morse phoneme alternatives flattened to array<string> for
+  * explode() multi-block membership (north rule).
+  */
+case class BmCodesExpr(child: Expression, nameType: String,
+    ruleType: String, concat: Boolean, maxPhonemes: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    PhoneticFunctions.bmCodes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      org.apache.spark.unsafe.types.UTF8String.fromString(nameType),
+      org.apache.spark.unsafe.types.UTF8String.fromString(ruleType),
+      concat, maxPhonemes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nt = ctx.addReferenceObj("bmNameType",
+      org.apache.spark.unsafe.types.UTF8String.fromString(nameType))
+    val rt = ctx.addReferenceObj("bmRuleType",
+      org.apache.spark.unsafe.types.UTF8String.fromString(ruleType))
+    defineCodeGen(ctx, ev, c =>
+      s"${Gen.F}.bmCodes($c, $nt, $rt, $concat, $maxPhonemes)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bm_codes"
+}
+
 abstract class StringBinaryPhonetic extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == StringType && right.dataType == StringType)

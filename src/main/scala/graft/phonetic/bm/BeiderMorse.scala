@@ -1,0 +1,718 @@
+package graft.phonetic.bm
+
+import java.util.Locale
+import java.util.regex.Pattern
+
+import scala.collection.immutable.SortedSet
+import scala.collection.mutable
+
+import graft.phonetic.PhoneticEncoder
+
+/** Beider-Morse Phonetic Matching (BMPM), re-expressed from the behavior of
+  * the reference (ref: /root/reference/src/beider_morse/, rphonetic v3.0.6,
+  * itself a port of Apache commons-codec 1.15). Three phases:
+  *
+  *   1. language guessing: ordered accept/reject regex rules over the
+  *      lowercased name intersect/subtract a language set
+  *      (ref: src/beider_morse/lang.rs:44-64);
+  *   2. main rules (`{name}_rules_{lang|any}`): per-position longest-defined
+  *      (file-order, first match wins) pattern+context rewrite producing a
+  *      phoneme *set* with per-phoneme language restrictions, capped at
+  *      `maxPhonemes` (ref: src/beider_morse/engine.rs:84-121,:62-80);
+  *   3. two final-rule passes (common, then language-specific exact|approx)
+  *      re-encode each phoneme and merge language sets of textual duplicates
+  *      (ref: src/beider_morse/engine.rs:134-184,:302-303).
+  *
+  * Rule tables are the Apache commons-codec 1.15 BM resource files, shipped
+  * under `resources/bm/` and parsed once per JVM (see [[BmConfig]]) — the
+  * Spark analogue of the reference's parse-once builder
+  * (ref: src/beider_morse/mod.rs:168-199).
+  */
+sealed abstract class NameType(val code: String)
+object NameType {
+  case object Ashkenazi extends NameType("ash")
+  case object Generic extends NameType("gen")
+  case object Sephardic extends NameType("sep")
+  val all: Seq[NameType] = Seq(Ashkenazi, Generic, Sephardic)
+  def parse(s: String): NameType = all.find(_.code == s).getOrElse(
+    throw new IllegalArgumentException(s"Unknown NameType $s"))
+}
+
+/** Exposed rule types; `rules` is internal (main-pass tables). */
+sealed abstract class RuleType(val code: String)
+object RuleType {
+  case object Approx extends RuleType("approx")
+  case object Exact extends RuleType("exact")
+  def parse(s: String): RuleType =
+    Seq(Approx, Exact).find(_.code == s).getOrElse(
+      throw new IllegalArgumentException(s"Unknown RuleType $s"))
+}
+
+/** A set of candidate languages (ref: src/beider_morse/languages.rs:13-100).
+  * `AnyLanguage` is the identity for restrict, `NoLanguages` the absorbing
+  * element; an explicit empty `SomeLanguages` is also "empty" (it arises
+  * from intersections).
+  */
+sealed trait LanguageSet {
+  def isEmpty: Boolean
+  def isSingleton: Boolean
+  def restrictTo(other: LanguageSet): LanguageSet
+  def merge(other: LanguageSet): LanguageSet
+  def anyOf: Option[String]
+}
+object LanguageSet {
+  case object AnyLanguage extends LanguageSet {
+    def isEmpty = false
+    def isSingleton = false
+    def restrictTo(other: LanguageSet): LanguageSet = other match {
+      case AnyLanguage => this
+      case NoLanguages => other
+      case _           => other
+    }
+    def merge(other: LanguageSet): LanguageSet = other match {
+      case AnyLanguage => other
+      case _           => this
+    }
+    def anyOf: Option[String] = None
+  }
+  case object NoLanguages extends LanguageSet {
+    def isEmpty = true
+    def isSingleton = false
+    def restrictTo(other: LanguageSet): LanguageSet = other match {
+      case AnyLanguage => this
+      case NoLanguages => other
+      case _           => this
+    }
+    def merge(other: LanguageSet): LanguageSet = other match {
+      case AnyLanguage => other
+      case NoLanguages => this
+      case _           => other
+    }
+    def anyOf: Option[String] = None
+  }
+  final case class SomeLanguages(langs: SortedSet[String]) extends LanguageSet {
+    def isEmpty: Boolean = langs.isEmpty
+    def isSingleton: Boolean = langs.size == 1
+    def restrictTo(other: LanguageSet): LanguageSet = other match {
+      case AnyLanguage          => this
+      case NoLanguages          => other
+      case SomeLanguages(other2) => SomeLanguages(langs.intersect(other2))
+    }
+    def merge(other: LanguageSet): LanguageSet = other match {
+      case AnyLanguage          => other
+      case NoLanguages          => this
+      case SomeLanguages(other2) => SomeLanguages(langs.union(other2))
+    }
+    def anyOf: Option[String] = langs.headOption
+  }
+  /** Mirrors Rust `From<Vec<&str>>`: always SomeLanguages. */
+  def of(langs: Iterable[String]): LanguageSet =
+    SomeLanguages(SortedSet.from(langs))
+  /** Mirrors Rust `From<BTreeSet<String>>`: empty becomes NoLanguages. */
+  def fromSet(langs: SortedSet[String]): LanguageSet =
+    if (langs.isEmpty) NoLanguages else SomeLanguages(langs)
+}
+
+/** Input viewed as code points, so pattern/context matching is in char
+  * space like the reference's `CharSequence` (ref: src/helper.rs:84-197).
+  */
+private[bm] final class CodePoints(s: String) {
+  val cps: Array[Int] = s.codePoints().toArray
+  def length: Int = cps.length
+  def substring(from: Int, until: Int): String = {
+    val sb = new java.lang.StringBuilder(until - from)
+    var i = from
+    while (i < until) { sb.appendCodePoint(cps(i)); i += 1 }
+    sb.toString
+  }
+}
+
+/** Context matcher over a code-point range. The eight literal fast paths
+  * mirror the reference's `OptimizedRegex`
+  * (ref: src/beider_morse/regex_optim.rs:9-158); anything else falls back
+  * to `java.util.regex` with `find()` semantics (Rust `Regex::is_match`).
+  */
+private[bm] sealed trait ContextMatcher {
+  def matches(input: CodePoints, from: Int, until: Int): Boolean
+}
+private[bm] object ContextMatcher {
+  case object AllStrings extends ContextMatcher {
+    def matches(input: CodePoints, from: Int, until: Int) = true
+  }
+  case object IsEmpty extends ContextMatcher {
+    def matches(input: CodePoints, from: Int, until: Int): Boolean = from == until
+  }
+  final case class EqualsStr(pat: Array[Int]) extends ContextMatcher {
+    def matches(input: CodePoints, from: Int, until: Int): Boolean = {
+      if (until - from != pat.length) return false
+      var i = 0
+      while (i < pat.length) { if (input.cps(from + i) != pat(i)) return false; i += 1 }
+      true
+    }
+  }
+  final case class StartsWith(pat: Array[Int]) extends ContextMatcher {
+    def matches(input: CodePoints, from: Int, until: Int): Boolean = {
+      if (until - from < pat.length) return false
+      var i = 0
+      while (i < pat.length) { if (input.cps(from + i) != pat(i)) return false; i += 1 }
+      true
+    }
+  }
+  final case class EndsWith(pat: Array[Int]) extends ContextMatcher {
+    def matches(input: CodePoints, from: Int, until: Int): Boolean = {
+      if (until - from < pat.length) return false
+      var i = 0
+      val off = until - pat.length
+      while (i < pat.length) { if (input.cps(off + i) != pat(i)) return false; i += 1 }
+      true
+    }
+  }
+  final case class EqualsChar(list: String, shouldMatch: Boolean) extends ContextMatcher {
+    def matches(input: CodePoints, from: Int, until: Int): Boolean =
+      until - from == 1 && (list.indexOf(input.cps(from)) >= 0) == shouldMatch
+  }
+  final case class StartsWithChar(list: String, shouldMatch: Boolean) extends ContextMatcher {
+    def matches(input: CodePoints, from: Int, until: Int): Boolean =
+      until - from >= 1 && (list.indexOf(input.cps(from)) >= 0) == shouldMatch
+  }
+  final case class EndsWithChar(list: String, shouldMatch: Boolean) extends ContextMatcher {
+    def matches(input: CodePoints, from: Int, until: Int): Boolean =
+      until - from >= 1 && (list.indexOf(input.cps(until - 1)) >= 0) == shouldMatch
+  }
+  final case class RegexMatcher(pattern: Pattern) extends ContextMatcher {
+    def matches(input: CodePoints, from: Int, until: Int): Boolean =
+      pattern.matcher(input.substring(from, until)).find()
+  }
+
+  private def cpsOf(s: String): Array[Int] = s.codePoints().toArray
+
+  /** The literal fast-path classifier
+    * (ref: src/beider_morse/regex_optim.rs:98-158); None falls back to
+    * a compiled regex.
+    */
+  def optimize(regex: String): Option[ContextMatcher] = {
+    val startsWith = regex.startsWith("^")
+    val endsWith = regex.endsWith("$")
+    val content = (startsWith, endsWith) match {
+      case (false, false) => regex
+      case (true, false)  => regex.substring(1)
+      case (false, true)  => regex.substring(0, regex.length - 1)
+      case (true, true)   => regex.substring(1, regex.length - 1)
+    }
+    val boxes = regex.contains('[')
+    if (!boxes) {
+      if (startsWith && endsWith) {
+        if (content.isEmpty) Some(IsEmpty) else Some(EqualsStr(cpsOf(content)))
+      } else if ((startsWith || endsWith) && content.isEmpty) {
+        Some(AllStrings)
+      } else if (startsWith) {
+        Some(StartsWith(cpsOf(content)))
+      } else if (endsWith) {
+        Some(EndsWith(cpsOf(content)))
+      } else None
+    } else {
+      if (content.startsWith("[") && content.endsWith("]")) {
+        var inner = content.substring(1, content.length - 1)
+        if (!inner.contains('[')) {
+          val negate = inner.startsWith("^")
+          if (negate) inner = inner.substring(1)
+          val shouldMatch = !negate
+          if (startsWith && endsWith) Some(EqualsChar(inner, shouldMatch))
+          else if (startsWith) Some(StartsWithChar(inner, shouldMatch))
+          else if (endsWith) Some(EndsWithChar(inner, shouldMatch))
+          else None
+        } else None
+      } else None
+    }
+  }
+
+  def compile(regex: String): ContextMatcher =
+    optimize(regex).getOrElse(RegexMatcher(Pattern.compile(regex)))
+}
+
+/** One replacement alternative of a rule: phoneme text plus the languages it
+  * is valid for (ref: src/beider_morse/rule.rs:79-151).
+  */
+private[bm] final case class BmPhoneme(text: String, languages: LanguageSet)
+
+/** One rewrite rule: `pattern` at position, regex contexts on both sides,
+  * alternatives applied as a set-product
+  * (ref: src/beider_morse/rule.rs:360-394).
+  */
+private[bm] final class BmRule(
+    val pattern: Array[Int],
+    val leftContext: ContextMatcher,
+    val rightContext: ContextMatcher,
+    val phonemes: IndexedSeq[BmPhoneme]) {
+
+  def patternLength: Int = pattern.length
+
+  /** Pattern, then right context, then left context — the reference's
+    * evaluation order (ref: src/beider_morse/rule.rs:371-385).
+    */
+  def matches(input: CodePoints, index: Int): Boolean = {
+    val ipl = index + pattern.length
+    if (ipl > input.length) return false
+    var i = 0
+    while (i < pattern.length) {
+      if (input.cps(index + i) != pattern(i)) return false
+      i += 1
+    }
+    rightContext.matches(input, ipl, input.length) &&
+      leftContext.matches(input, 0, index)
+  }
+}
+
+/** Rules for one (nameType, ruleType, language), bucketed by first pattern
+  * code point; bucket order is file order (first match wins)
+  * (ref: src/beider_morse/rule.rs:214-304).
+  */
+private[bm] final class RuleBuckets(val buckets: Map[Int, IndexedSeq[BmRule]]) {
+  def get(cp: Int): IndexedSeq[BmRule] =
+    buckets.getOrElse(cp, RuleBuckets.none)
+  def isEmpty: Boolean = buckets.isEmpty
+}
+private[bm] object RuleBuckets {
+  private val none: IndexedSeq[BmRule] = IndexedSeq.empty
+  val empty = new RuleBuckets(Map.empty)
+}
+
+/** One language-guessing rule (ref: src/beider_morse/lang.rs:12-34). */
+private[bm] final case class LangRule(
+    pattern: Pattern, languages: SortedSet[String], acceptOnMatch: Boolean)
+
+/** Language guesser for one name type
+  * (ref: src/beider_morse/lang.rs:36-64).
+  */
+private[bm] final class BmLang(
+    allLanguages: SortedSet[String], rules: IndexedSeq[LangRule]) {
+  def guessLanguages(input: String): LanguageSet = {
+    val lower = input.toLowerCase(Locale.ROOT)
+    var langs = allLanguages
+    rules.foreach { rule =>
+      if (rule.pattern.matcher(lower).find()) {
+        langs =
+          if (rule.acceptOnMatch) langs.intersect(rule.languages)
+          else langs.diff(rule.languages)
+      }
+    }
+    if (langs.isEmpty) LanguageSet.AnyLanguage
+    else LanguageSet.SomeLanguages(langs)
+  }
+}
+
+/** Parses the commons-codec BM resource files. Line grammar mirrors the
+  * reference's nom parsers (ref: /root/reference/src/rules_parser.rs):
+  * quadruplet `"p" "l" "r" "ph"`, `#include name`, `//` line comments,
+  * `／* ... *／` multiline comments, blank lines.
+  */
+private[bm] object BmParser {
+
+  private def readResource(name: String): Option[Seq[String]] = {
+    val in = getClass.getResourceAsStream(s"/bm/$name.txt")
+    if (in == null) None
+    else {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try Some(src.getLines().map(_.stripSuffix("\r")).toVector)
+      finally src.close()
+    }
+  }
+
+  private def isBlankOrComment(line: String): Boolean = {
+    val t = line.dropWhile(c => c == ' ' || c == '\t')
+    t.isEmpty || t.startsWith("//")
+  }
+
+  /** Folds multiline comments away, yielding the content lines. */
+  private def contentLines(name: String, lines: Seq[String]): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var inComment = false
+    lines.foreach { line =>
+      if (inComment) {
+        val idx = line.indexOf("*/")
+        if (idx >= 0) inComment = false
+      } else if (line.startsWith("/*")) {
+        if (!line.contains("*/")) inComment = true
+      } else if (!isBlankOrComment(line)) {
+        out += line
+      }
+    }
+    if (inComment) fail(name, "unterminated multiline comment")
+    out.result()
+  }
+
+  private def fail(name: String, msg: String): Nothing =
+    throw new IllegalStateException(s"BM rules $name: $msg")
+
+  /** Scans `"a" "b" "c" "d"` with 1+ spaces/tabs between parts, optional
+    * trailing spaces / `//` comment.
+    */
+  private def parseQuadruplet(name: String, line: String): Array[String] = {
+    val parts = new Array[String](4)
+    var i = 0
+    var p = 0
+    while (p < 4) {
+      if (i >= line.length || line.charAt(i) != '"')
+        fail(name, s"bad quadruplet: $line")
+      // `"\""` parses to the two-char content `\"` (the reference's
+      // alt(tag("\\\""), take_until("\"")), ref: src/rules_parser.rs:69-73)
+      if (i + 3 < line.length && line.charAt(i + 1) == '\\' &&
+          line.charAt(i + 2) == '"' && line.charAt(i + 3) == '"') {
+        parts(p) = line.substring(i + 1, i + 3)
+        i = i + 4
+      } else {
+        val end = line.indexOf('"', i + 1)
+        if (end < 0) fail(name, s"unterminated part: $line")
+        parts(p) = line.substring(i + 1, end)
+        i = end + 1
+      }
+      p += 1
+      if (p < 4) {
+        val start = i
+        while (i < line.length && (line.charAt(i) == ' ' || line.charAt(i) == '\t')) i += 1
+        if (i == start) fail(name, s"missing separator: $line")
+      }
+    }
+    val rest = line.substring(i)
+    if (!isBlankOrComment(rest)) fail(name, s"trailing junk: $line")
+    parts
+  }
+
+  /** `text` or `text[lang1+lang2]`
+    * (ref: src/beider_morse/rule.rs:164-185).
+    */
+  private def parsePhoneme(s: String): BmPhoneme = {
+    val idx = s.indexOf('[')
+    if (idx >= 0) {
+      if (!s.endsWith("]"))
+        throw new IllegalStateException(s"Phoneme $s has '[' but no trailing ']'")
+      val text = s.substring(0, idx)
+      val langs = s.substring(idx + 1, s.length - 1).split("\\+", -1)
+      BmPhoneme(text, LanguageSet.of(langs.toSeq))
+    } else BmPhoneme(s, LanguageSet.AnyLanguage)
+  }
+
+  /** `(a|b|c)` alternative list; a leading/trailing `|` adds an extra empty
+    * phoneme, and Rust split keeps trailing empties — both preserved
+    * (ref: src/beider_morse/rule.rs:187-212).
+    */
+  private def parsePhonemeExpr(s: String): IndexedSeq[BmPhoneme] = {
+    if (s.startsWith("(")) {
+      if (!s.endsWith(")"))
+        throw new IllegalStateException(s"Wrong phoneme rule $s")
+      val inner = s.substring(1, s.length - 1)
+      val phs = inner.split("\\|", -1).toIndexedSeq.map(parsePhoneme)
+      if (inner.startsWith("|") || inner.endsWith("|"))
+        phs :+ BmPhoneme("", LanguageSet.AnyLanguage)
+      else phs
+    } else IndexedSeq(parsePhoneme(s))
+  }
+
+  /** Parses one rules file (recursively resolving `#include`). Matches the
+    * reference's include semantics exactly: the included file's buckets
+    * *replace* same-keyed buckets accumulated so far (BTreeMap::extend,
+    * ref: src/beider_morse/rule.rs:269-285), then later quadruplets append.
+    * In practice includes sit before any same-bucket rules.
+    */
+  def parseRuleFile(name: String): mutable.LinkedHashMap[Int, mutable.ArrayBuffer[BmRule]] = {
+    val lines = readResource(name).getOrElse(fail(name, "missing resource"))
+    val result = mutable.LinkedHashMap.empty[Int, mutable.ArrayBuffer[BmRule]]
+    contentLines(name, lines).foreach { line =>
+      if (line.startsWith("\"")) {
+        val q = parseQuadruplet(name, line)
+        val pattern = q(0).codePoints().toArray
+        val left = ContextMatcher.compile(q(1) + "$")
+        val right = ContextMatcher.compile("^" + q(2))
+        val phonemes = parsePhonemeExpr(q(3))
+        val rule = new BmRule(pattern, left, right, phonemes)
+        result.getOrElseUpdate(pattern(0), mutable.ArrayBuffer.empty) += rule
+      } else if (line.startsWith("#include ")) {
+        val inc = line.substring("#include ".length)
+          .takeWhile(c => c.isLetterOrDigit || c == '-' || c == '_')
+        val included = parseRuleFile(inc)
+        included.foreach { case (k, v) => result.put(k, v) }
+      } else fail(name, s"can't parse line: $line")
+    }
+    result
+  }
+
+  def parseRules(name: String): RuleBuckets = {
+    val m = parseRuleFile(name)
+    new RuleBuckets(m.view.mapValues(_.toIndexedSeq).toMap)
+  }
+
+  /** `{nt}_lang.txt`: `pattern lang1+lang2 true|false` per line
+    * (ref: src/beider_morse/lang.rs:93-151).
+    */
+  def parseLang(nameType: NameType, allLanguages: SortedSet[String]): BmLang = {
+    val name = s"${nameType.code}_lang"
+    val lines = readResource(name).getOrElse(fail(name, "missing resource"))
+    val rules = contentLines(name, lines).map { line =>
+      val noComment = {
+        val idx = line.indexOf("//")
+        if (idx >= 0) line.substring(0, idx) else line
+      }.replaceAll("[ \t]+$", "")
+      val fields = noComment.split(" ")
+      if (fields.length != 3) fail(name, s"bad lang rule: $line")
+      val accept = fields(2) match {
+        case "true"  => true
+        case "false" => false
+        case other   => fail(name, s"not a boolean: $other")
+      }
+      LangRule(Pattern.compile(fields(0)),
+        SortedSet.from(fields(1).split("\\+", -1)), accept)
+    }
+    new BmLang(allLanguages, rules.toIndexedSeq)
+  }
+
+  /** `{nt}_languages.txt`: one language per line
+    * (ref: src/beider_morse/languages.rs:164-205).
+    */
+  def parseLanguages(nameType: NameType): SortedSet[String] = {
+    val name = s"${nameType.code}_languages"
+    val lines = readResource(name).getOrElse(fail(name, "missing resource"))
+    SortedSet.from(contentLines(name, lines).map(_.trim))
+  }
+}
+
+/** All parsed BM configuration, loaded once per JVM from classpath
+  * resources (the Spark-executor analogue of the reference's
+  * `ConfigFiles`, ref: src/beider_morse/mod.rs:177-199).
+  */
+final class BmConfig private (
+    private[bm] val langs: Map[NameType, BmLang],
+    private[bm] val rules: Map[(NameType, String, String), RuleBuckets]) {
+  private[bm] def rulesFor(nt: NameType, rt: String, lang: String): RuleBuckets =
+    rules.getOrElse((nt, rt, lang), rules((nt, rt, "any")))
+}
+
+object BmConfig {
+  private val RULES = "rules"
+  lazy val default: BmConfig = {
+    val langsB = Map.newBuilder[NameType, BmLang]
+    val rulesB = Map.newBuilder[(NameType, String, String), RuleBuckets]
+    NameType.all.foreach { nt =>
+      val languages = BmParser.parseLanguages(nt)
+      langsB += nt -> BmParser.parseLang(nt, languages)
+      Seq(RuleType.Approx.code, RuleType.Exact.code, RULES).foreach { rt =>
+        languages.foreach { lang =>
+          rulesB += (nt, rt, lang) -> BmParser.parseRules(s"${nt.code}_${rt}_$lang")
+        }
+        if (rt != RULES)
+          rulesB += (nt, rt, "common") -> BmParser.parseRules(s"${nt.code}_${rt}_common")
+      }
+    }
+    new BmConfig(langsB.result(), rulesB.result())
+  }
+}
+
+/** The phonetic engine (ref: src/beider_morse/engine.rs:123-307). */
+final class BeiderMorse(
+    nameType: NameType = NameType.Generic,
+    ruleType: RuleType = RuleType.Approx,
+    concat: Boolean = true,
+    maxPhonemes: Int = BeiderMorse.DefaultMaxPhonemes,
+    config: BmConfig = BmConfig.default) extends PhoneticEncoder {
+
+  import BeiderMorse._
+
+  private val lang = config.langs(nameType)
+
+  /** Phoneme texts ordered by code point, then length — the reference's
+    * `Phoneme::cmp` (ref: src/beider_morse/rule.rs:91-105). Uniqueness and
+    * sort order of the output both hang off this ordering.
+    */
+  private implicit val phonemeOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      var i = 0
+      var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i)
+        val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+        j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+  }
+
+  /** Ordered map text -> languages standing in for the reference's
+    * `BTreeSet<Phoneme>` (Ord on text only; set-insert keeps the first
+    * languages on text collision, ref: src/beider_morse/engine.rs:34-81).
+    */
+  private type Phonemes = mutable.TreeMap[String, LanguageSet]
+
+  private def emptyBuilder(languages: LanguageSet): Phonemes = {
+    val m = new Phonemes()(phonemeOrdering)
+    m.put("", languages)
+    m
+  }
+
+  private def applyRule(
+      phonemes: Phonemes, alternatives: IndexedSeq[BmPhoneme]): Phonemes = {
+    val out = new Phonemes()(phonemeOrdering)
+    val it = phonemes.iterator
+    var break = false
+    while (it.hasNext && !break) {
+      val (leftText, leftLangs) = it.next()
+      var r = 0
+      while (r < alternatives.length && !break) {
+        val right = alternatives(r)
+        val languages = leftLangs.restrictTo(right.languages)
+        if (!languages.isEmpty) {
+          if (out.size < maxPhonemes) {
+            val joined = leftText + right.text
+            if (!out.contains(joined)) out.put(joined, languages)
+          }
+          if (out.size >= maxPhonemes) break = true
+        }
+        r += 1
+      }
+    }
+    out
+  }
+
+  private def applyFinalRules(phonemes: Phonemes, finalRules: RuleBuckets): Phonemes = {
+    if (finalRules.isEmpty) return phonemes
+    val out = new Phonemes()(phonemeOrdering)
+    phonemes.foreach { case (text, origLangs) =>
+      var sub = emptyBuilder(origLangs)
+      val input = new CodePoints(text)
+      var i = 0
+      val len = input.length
+      while (i < len) {
+        val bucket = finalRules.get(input.cps(i))
+        var matched: BmRule = null
+        var b = 0
+        while (matched == null && b < bucket.length) {
+          if (bucket(b).matches(input, i)) matched = bucket(b)
+          b += 1
+        }
+        if (matched != null) {
+          sub = applyRule(sub, matched.phonemes)
+          i += matched.patternLength
+        } else {
+          // unmatched char passes through in final-rule passes (only):
+          // ref src/beider_morse/engine.rs:163-166
+          val ch = input.substring(i, i + 1)
+          val appended = new Phonemes()(phonemeOrdering)
+          sub.foreach { case (t, l) => appended.put(t + ch, l) }
+          sub = appended
+          i += 1
+        }
+      }
+      sub.foreach { case (t, subLangs) =>
+        out.get(t) match {
+          case Some(existing) => out.put(t, existing.merge(origLangs))
+          case None           => out.put(t, subLangs)
+        }
+      }
+    }
+    out
+  }
+
+  def encode(input: String): String =
+    encodeWithLanguageSet(input, lang.guessLanguages(input))
+
+  def encodeWithLanguages(input: String, languages: LanguageSet): String =
+    encodeWithLanguageSet(input, languages)
+
+  private def encodeWithLanguageSet(input0: String, languages: LanguageSet): String = {
+    val l =
+      if (languages.isSingleton) languages.anyOf.get
+      else "any"
+    val rules = config.rulesFor(nameType, "rules", l)
+    val finalRules1 = config.rulesFor(nameType, ruleType.code, "common")
+    val finalRules2 = config.rulesFor(nameType, ruleType.code, l)
+
+    val input = input0.toLowerCase(Locale.ROOT).replace('-', ' ')
+
+    if (nameType == NameType.Generic) {
+      if (input.startsWith("d'")) {
+        val remainder = input.substring(2)
+        val combined = "d" + remainder
+        return "(" + encode(remainder) + ")-(" + encode(combined) + ")"
+      }
+      prefixesFor(nameType).foreach { prefix =>
+        if (input.startsWith(prefix + " ")) {
+          val remainder = input.substring(prefix.length + 1)
+          val combined = prefix + remainder
+          return "(" + encode(remainder) + ")-(" + encode(combined) + ")"
+        }
+      }
+    }
+
+    val words = input.split("\\s+").filter(_.nonEmpty)
+
+    if (!concat && words.length != 1)
+      return words.map(encode).mkString("-")
+
+    val words2 = words.iterator
+      .map { w =>
+        if (nameType == NameType.Sephardic) w.split("'", -1).last else w
+      }
+      .filter(w =>
+        nameType == NameType.Generic || !prefixesFor(nameType).contains(w))
+      .toArray
+
+    val finalInput =
+      if (concat) words2.mkString(" ")
+      else words(0)
+
+    var builder = emptyBuilder(languages)
+    val cps = new CodePoints(finalInput)
+    var i = 0
+    val end = cps.length
+    while (i < end) {
+      val bucket = rules.get(cps.cps(i))
+      var matched: BmRule = null
+      var b = 0
+      while (matched == null && b < bucket.length) {
+        if (bucket(b).matches(cps, i)) matched = bucket(b)
+        b += 1
+      }
+      if (matched != null) {
+        builder = applyRule(builder, matched.phonemes)
+        i += matched.patternLength
+      } else {
+        // unmatched chars are dropped in the main pass:
+        // ref src/beider_morse/engine.rs:98-120 (nothing appended)
+        i += 1
+      }
+    }
+
+    builder = applyFinalRules(builder, finalRules1)
+    builder = applyFinalRules(builder, finalRules2)
+
+    builder.keysIterator.mkString("|")
+  }
+}
+
+object BeiderMorse {
+  val DefaultMaxPhonemes = 20
+
+  /** Name prefixes encoded both with and without
+    * (ref: src/beider_morse/engine.rs:11-32); iteration order is the
+    * BTreeSet (sorted) order.
+    */
+  private val Prefixes: Map[NameType, SortedSet[String]] = Map(
+    NameType.Ashkenazi -> SortedSet("bar", "ben", "da", "de", "van", "von"),
+    NameType.Generic -> SortedSet("da", "dal", "de", "del", "dela", "de la",
+      "della", "des", "di", "do", "dos", "du", "van", "von"),
+    NameType.Sephardic -> SortedSet("al", "el", "da", "dal", "de", "del",
+      "dela", "de la", "della", "des", "di", "do", "dos", "du", "van", "von"))
+
+  private def prefixesFor(nt: NameType): SortedSet[String] = Prefixes(nt)
+
+  /** Default encoder: gen / approx / concat / 20 phonemes
+    * (ref: src/beider_morse/mod.rs:298-312).
+    */
+  lazy val default: BeiderMorse = new BeiderMorse()
+
+  /** Splits an encoded value into flat blocking codes: `|` alternatives,
+    * prefix groups `(a|b)-(c|d)` and non-concat word joins all flatten.
+    */
+  def splitCodes(encoded: String): Array[String] =
+    encoded.split("[|()\\-]+").filter(_.nonEmpty)
+}
