@@ -86,6 +86,25 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getString(1) == "SNXR")
   }
 
+  test("beider-morse via SQL and column API") {
+    import spark.implicits._
+    val df = Seq("Angelo", null).toDF("name")
+    df.createOrReplaceTempView("bm_names")
+    val rows = spark.sql(
+      """SELECT graft_beider_morse(name, 'gen', 'exact') AS raw,
+        |  graft_bm_codes(name) AS codes FROM bm_names""".stripMargin)
+      .collect()
+    assert(rows(0).getString(0) ===
+      "anZelo|andZelo|angelo|anhelo|anjelo|anxelo")
+    assert(rows(0).getSeq[String](1).nonEmpty)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    val exploded = Seq("D'Angelo").toDF("name")
+      .select(explode(GraftFunctions.graftBmCodes($"name")).as("code"))
+      .collect().map(_.getString(0)).toSet
+    // prefix groups flatten: variants both with and without the d'
+    assert(exploded.contains("angilo") && exploded.contains("dangilo"))
+  }
+
   test("expressions stay codegen-friendly (no ScalaUDF in plan)") {
     import spark.implicits._
     val df = Seq("Washington").toDF("name")
