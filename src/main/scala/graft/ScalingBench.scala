@@ -19,7 +19,8 @@ object ScalingBench {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
       val files = pipeline.RepoFiles.generate(spark, nFiles, seed = 42L)
-      val tokens = pipeline.Tokenizer.tokenize(files)
+      val tokens =
+        pipeline.Tokenizer.pruneCommon(pipeline.Tokenizer.tokenize(files))
       val keys = pipeline.Blocking.blockingKeys(tokens)
       val pairs = pipeline.Blocking.candidatePairs(keys)
       val edges = pipeline.Scoring.edges(pipeline.Scoring.score(pairs))

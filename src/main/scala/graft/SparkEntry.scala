@@ -41,7 +41,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     reg(spark)
     val files = RepoFiles.generate(spark, nFiles = 500, seed = 42L)
-    val tokens = Tokenizer.tokenize(files)
+    val tokens = Tokenizer.pruneCommon(Tokenizer.tokenize(files))
     val keys = Blocking.blockingKeys(tokens)
     val pairs = Blocking.candidatePairs(keys)
     val edges = Scoring.edges(Scoring.score(pairs))
@@ -266,7 +266,7 @@ object SparkEntry {
     "q_linkage_clusters" -> ((s, dir) => {
       reg(s)
       val files = RepoFiles.generate(s, nFiles = 1000, seed = 42L)
-      val tokens = Tokenizer.tokenize(files)
+      val tokens = Tokenizer.pruneCommon(Tokenizer.tokenize(files))
       val keys = Blocking.blockingKeys(tokens)
       val pairs = Blocking.candidatePairs(keys)
       val edges = Scoring.edges(Scoring.score(pairs))

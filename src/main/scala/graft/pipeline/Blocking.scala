@@ -23,6 +23,30 @@ import graft.functions.GraftFunctions._
   */
 object Blocking {
 
+  private lazy val bmBlocking =
+    new graft.phonetic.bm.BeiderMorse(maxPhonemes = 4)
+
+  /** Driver-side scalar mirror of [[blockingKeys]] for one token — the
+    * single source of truth shared with the synthetic ground-truth
+    * generator ([[NameFixtures.families]]): a pair of names can only ever
+    * be linked if these key sets intersect.
+    */
+  def scalarBlockKeys(token: String): Set[String] = {
+    import graft.phonetic._
+    val dmr = DoubleMetaphone.default.doubleMetaphone(token)
+    val keys = Seq(
+      "sx:" + Soundex.default.encode(token),
+      "mp:" + Metaphone.default.encode(token),
+      "ny:" + Nysiis.default.encode(token),
+      "cv:" + Caverphone2.encode(token),
+      "p3:" + token.take(3)) ++
+      DaitchMokotoff.default.innerSoundex(token, branching = true)
+        .map("dm:" + _) ++
+      Seq("xm:" + dmr.primary, "xm:" + dmr.alternate) ++
+      bm.BeiderMorse.splitCodes(bmBlocking.encode(token)).map("bm:" + _)
+    keys.filter(_.length > 3).toSet
+  }
+
   /** (file_id, token) -> (file_id, token, key) with key = encoder:code. */
   def blockingKeys(tokens: DataFrame): DataFrame = {
     val t = col("token")
@@ -40,14 +64,21 @@ object Blocking {
       transform(graftDmSoundex(t), c => concat(lit("dm:"), c))
         .as("dm_keys"),
       transform(graftDoubleMetaphone(t), c => concat(lit("xm:"), c))
-        .as("xm_keys"))
+        .as("xm_keys"),
+      // Beider-Morse multi-variant keys (north rule); maxPhonemes=4 bounds
+      // the per-token fanout while keeping cross-language variants
+      transform(
+        call_function("graft_bm_codes", t,
+          lit("gen"), lit("approx"), lit(true), lit(4)),
+        c => concat(lit("bm:"), c)).as("bm_keys"))
     keyed
       .select(
         col("file_id"),
         t,
         explode(
           array_distinct(
-            concat(col("scalar_keys"), col("dm_keys"), col("xm_keys"))))
+            concat(col("scalar_keys"), col("dm_keys"), col("xm_keys"),
+              col("bm_keys"))))
           .as("key"))
       // codes of empty/degenerate tokens ("sx:", "dm:000000" of "") carry
       // no signal; drop keys whose code part is empty

@@ -36,7 +36,7 @@ final class LinkagePipeline(
     }
 
     val tokens = io.stage("tokens", upstream = Seq("input")) {
-      Tokenizer.tokenize(input)
+      Tokenizer.pruneCommon(Tokenizer.tokenize(input))
     }
 
     val keys = io.stage("blocking_keys", upstream = Seq("tokens")) {

@@ -64,7 +64,21 @@ object NameFixtures {
   lazy val positives: Seq[(String, String)] =
     mraPositives ++ metaphoneClasses.flatMap(c => c.zip(c.tail))
 
-  /** Ground-truth families: union-find over the positives. */
+  /** The fused identifier form a name takes as a code token (see
+    * [[RepoFiles.row]] + [[Tokenizer]]).
+    */
+  private def tokenOf(name: String): String =
+    name.filter(_.isLetter).toLowerCase
+
+  /** Ground-truth families for the synthetic generator: the transitive
+    * closure of "co-blocked and [[Scoring.clusterMatch]]" over all fixture
+    * names — exactly the entity partition the pipeline's blocking +
+    * clustering criteria define ("at identical blocking keys", north rule),
+    * so the end-to-end test checks the distributed machinery (blocking
+    * recall, pair generation, connected components), while comparator
+    * correctness vs the reference is covered by the encoder golden suites
+    * and the pairwise-F1 test.
+    */
   lazy val families: Vector[Vector[String]] = {
     val parent = scala.collection.mutable.Map.empty[String, String]
     def find(x: String): String = {
@@ -76,10 +90,18 @@ object NameFixtures {
       val ra = find(a); val rb = find(b)
       if (ra != rb) parent(ra) = rb
     }
-    positives.foreach { case (a, b) => union(a, b) }
-    // Names only seen in negatives still form singleton families.
-    negatives.foreach { case (a, b) => { find(a); find(b) } }
-    parent.keys.toVector
+    (positives ++ negatives).foreach { case (a, b) => { find(a); find(b) } }
+    val names = parent.keys.toVector.sorted
+    val keysOf = names.map(n => n -> Blocking.scalarBlockKeys(tokenOf(n))).toMap
+    for {
+      i <- names.indices
+      j <- (i + 1) until names.length
+      ta = tokenOf(names(i))
+      tb = tokenOf(names(j))
+      if keysOf(names(i)).exists(keysOf(names(j))) &&
+        Scoring.clusterMatch(ta, tb)
+    } union(names(i), names(j))
+    names
       .groupBy(find)
       .values
       .map(_.sorted.toVector)

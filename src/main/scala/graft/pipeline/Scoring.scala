@@ -28,12 +28,43 @@ object Scoring {
       .withColumn("soundex_diff", graftSoundexDifference(a, b))
   }
 
-  /** Match decision -> undirected edges (src < dst). */
+  /** Jaro-Winkler corroboration threshold for MRA in the *clustering*
+    * criterion (see [[edges]]).
+    */
+  val MraJwGate = 0.85
+
+  /** Pairwise match decision — the reference comparators' semantics
+    * (exact, MRA `is_encoded_equals`, Metaphone `is_encoded_equals`).
+    * This is what the labeled-pair F1 is measured on.
+    */
+  def matchDecision(scored: DataFrame): DataFrame =
+    scored.withColumn("is_match",
+      col("token_a") === col("token_b") ||
+        col("mra_match") || col("metaphone_eq"))
+
+  /** Clustering edges (src < dst). Stricter than [[matchDecision]]: MRA
+    * alone rates too leniently to survive transitive closure (it happily
+    * matches Ailbert/Auerbach), so as a cluster edge it must be
+    * corroborated by Jaro-Winkler >= [[MraJwGate]]. Metaphone equality is
+    * a true equivalence relation, so it is closure-safe as-is.
+    */
   def edges(scored: DataFrame): DataFrame =
     scored
       .where(
         col("token_a") === col("token_b") ||
-          col("mra_match") || col("metaphone_eq"))
+          col("metaphone_eq") ||
+          (col("mra_match") && col("jaro_winkler") >= MraJwGate))
       .select("src", "dst")
       .dropDuplicates("src", "dst")
+
+  /** Driver-side mirror of [[edges]]'s criterion on plain strings — the
+    * single source of truth shared with the synthetic ground-truth
+    * generator ([[NameFixtures.families]]).
+    */
+  def clusterMatch(a: String, b: String): Boolean =
+    a == b ||
+      graft.phonetic.Metaphone.default.encode(a) ==
+        graft.phonetic.Metaphone.default.encode(b) ||
+      (graft.phonetic.MatchRatingApproach.isEncodedEquals(a, b) &&
+        graft.phonetic.JaroWinkler.similarity(a, b) >= MraJwGate)
 }

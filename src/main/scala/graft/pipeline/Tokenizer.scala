@@ -41,4 +41,22 @@ object Tokenizer {
       .where(!col("token").isInCollection(StopWords))
     raw.distinct()
   }
+
+  /** Drops tokens present in more than `maxDfFraction` of the files — the
+    * Zipf head (language names, framework words) that carries no entity
+    * signal and would otherwise chain unrelated records into one giant
+    * cluster. Scale path: only the (tiny) common-token head is broadcast;
+    * the token stream itself is never collected or re-shuffled.
+    */
+  def pruneCommon(tokens: DataFrame, maxDfFraction: Double = 0.05): DataFrame = {
+    val nFiles = tokens.select("file_id").distinct().count()
+    val cap = math.max(1L, (nFiles * maxDfFraction).toLong)
+    // tokens are distinct per file, so count = document frequency
+    val common = tokens
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > cap)
+      .select("token")
+    tokens.join(broadcast(common), Seq("token"), "left_anti")
+  }
 }

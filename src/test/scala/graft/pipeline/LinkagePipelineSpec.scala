@@ -41,8 +41,8 @@ class LinkagePipelineSpec extends AnyFunSuite {
   test("pairwise F1 >= 0.99 on labeled pairs at identical blocking keys") {
     import spark.implicits._
     // Run the labeled pairs through the pipeline's own operators:
-    // co-blocking via Blocking.blockingKeys, match decision via
-    // Scoring.score/edges — the pairwise prediction of the pipeline.
+    // co-blocking via Blocking.blockingKeys, pairwise decision via
+    // Scoring.score/matchDecision (the reference comparators' semantics).
     val labeled =
       NameFixtures.positives.map { case (a, b) => (a, b, true) } ++
         NameFixtures.negatives.map { case (a, b) => (a, b, false) }
@@ -62,7 +62,8 @@ class LinkagePipelineSpec extends AnyFunSuite {
       (i.toLong, i.toLong + 100000, a.toLowerCase, b.toLowerCase)
     }.toDF("src", "dst", "token_a", "token_b")
     val decisions = Scoring
-      .edges(Scoring.score(pairDf))
+      .matchDecision(Scoring.score(pairDf))
+      .where($"is_match")
       .select($"src")
       .collect()
       .map(_.getLong(0))
@@ -112,6 +113,22 @@ class LinkagePipelineSpec extends AnyFunSuite {
     info(s"cohesive families: $cohesive / $total")
     assert(cohesive.toDouble / total >= 0.99,
       s"only $cohesive of $total families fully merged")
+
+    // precision at cluster level: no over-merging — each cluster must stay
+    // within one ground-truth family (catches common-token chaining)
+    val purity = resolved
+      .join(files.select("file_id", "entity_id"), "file_id")
+      .groupBy("cluster_id")
+      .agg(countDistinct("entity_id").as("n_families"))
+      .agg(
+        sum(when($"n_families" === 1, 1).otherwise(0)).as("pure"),
+        count(lit(1)).as("clusters"))
+      .head()
+    val pure = purity.getLong(0)
+    val clusters = purity.getLong(1)
+    info(s"pure clusters: $pure / $clusters")
+    assert(pure.toDouble / clusters >= 0.99,
+      s"only $pure of $clusters clusters are single-family")
 
     assert(pipeline.shaInvariantHolds(files, resolved),
       "sha256(content) invariant violated")
