@@ -3,19 +3,21 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Transitive closure via iterative min-label propagation.
+/** Transitive closure via min-label propagation with pointer jumping.
   *
-  * Each iteration is one shuffle: labels flow across edges in both
-  * directions, and every vertex takes the min label seen. Iterates to
-  * fixpoint (O(cluster diameter) rounds — name-variant clusters are
-  * shallow). Each iteration is localCheckpoint'ed to cut the lineage so the
-  * plan doesn't grow across iterations; a driver restart resumes from the
-  * last pipeline-stage checkpoint (TableIO), not from scratch.
+  * Each round does two things:
+  *   1. neighbor propagation — the *frontier* (vertices whose label changed
+  *      last round) offers its label across the big static edge table (the
+  *      north rule's "iterative large-to-small hash join": AQE broadcasts
+  *      the frontier once it shrinks under the threshold);
+  *   2. pointer jumping (path halving) — every vertex re-reads the label of
+  *      its current label vertex, so label chains collapse geometrically.
   *
-  * The large-to-small discipline: the per-round message table is built by
-  * joining the (small, shrinking) frontier of relabeled vertices against
-  * the (large, static) edge table — with AQE deciding broadcast once the
-  * frontier fits under the threshold.
+  * Propagation alone needs O(diameter) rounds; with halving the loop
+  * converges in O(log diameter) — the property that matters when
+  * sorted-neighborhood chains make long thin components at 10^12 rows.
+  * Each round localCheckpoints to cut lineage so plans don't grow; a driver
+  * restart resumes from the last pipeline-stage checkpoint (TableIO).
   */
 object ConnectedComponents {
 
@@ -36,30 +38,42 @@ object ConnectedComponents {
       .select(col("file_id"), col("file_id").as("cluster_id"))
       .localCheckpoint()
 
-    var converged = false
+    var frontier = labels
     var iter = 0
-    while (!converged && iter < maxIterations) {
-      // messages: each vertex offers its label to its neighbors
+    var done = false
+    while (!done && iter < maxIterations) {
+      // 1. frontier labels flow to neighbors (big edges x small frontier)
       val msgs = biEdges
-        .join(labels, biEdges("src") === labels("file_id"))
+        .join(frontier, biEdges("src") === frontier("file_id"))
         .select(biEdges("dst").as("file_id"), col("cluster_id"))
+        // fresh attribute ids: msgs shares lineage with labels (round 1),
+        // and Union constraint propagation chokes on duplicate expr ids
+        .toDF("file_id", "cluster_id")
 
-      val newLabels = labels
-        .select(col("file_id"), col("cluster_id"))
+      val candidate = labels
+        .toDF("file_id", "cluster_id")
         .union(msgs)
         .groupBy("file_id")
         .agg(min("cluster_id").as("cluster_id"))
+
+      // 2. pointer jumping: take the label of my label's vertex
+      val parents = candidate
+        .select(col("file_id").as("p_id"), col("cluster_id").as("p_cid"))
+      val jumped = candidate.as("c")
+        .join(parents, col("c.cluster_id") === col("p_id"), "left")
+        .select(col("c.file_id"),
+          coalesce(col("p_cid"), col("c.cluster_id")).as("cluster_id"))
+
+      val next = jumped.localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.withColumnRenamed("cluster_id", "old_cid"), "file_id")
+        .where(col("cluster_id") =!= col("old_cid"))
+        .select(col("file_id"), col("cluster_id"))
         .localCheckpoint()
 
-      val changed = newLabels
-        .join(labels.withColumnRenamed("cluster_id", "old_cluster_id"),
-          "file_id")
-        .where(col("cluster_id") =!= col("old_cluster_id"))
-        .limit(1)
-        .count()
-
-      labels = newLabels
-      converged = changed == 0
+      done = changed.isEmpty
+      labels = next
+      frontier = changed
       iter += 1
     }
     labels

@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionTestWrapper
+
+/** Graph-shape unit tests for the frontier-based min-label propagation. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionTestWrapper.spark
+
+  private def cluster(
+      vertices: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents
+      .run(spark, vertices.toDF("file_id"), edges.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+  }
+
+  test("chain collapses to min label") {
+    val got = cluster(0L to 5L, Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("star collapses regardless of orientation") {
+    val got = cluster(0L to 4L, Seq((1L, 0L), (0L, 2L), (3L, 0L), (0L, 4L)))
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("disjoint components keep distinct labels; isolated vertices stay") {
+    val got = cluster(0L to 6L,
+      Seq((0L, 1L), (1L, 2L), (3L, 4L))) // 5, 6 isolated
+    assert(got(0L) === 0L && got(1L) === 0L && got(2L) === 0L)
+    assert(got(3L) === 3L && got(4L) === 3L)
+    assert(got(5L) === 5L && got(6L) === 6L)
+  }
+
+  test("long path needs multiple frontier rounds (diameter > 2)") {
+    val n = 33L
+    val got = cluster(0L to n, (0L until n).map(i => (i + 1, i)))
+    assert(got.values.toSet === Set(0L))
+    assert(got.size === n + 1)
+  }
+
+  test("min label wins even when it enters from the high end") {
+    // component {5,6,7} plus vertex 1 attached at the far end
+    val got = cluster(Seq(1L, 5L, 6L, 7L), Seq((5L, 6L), (6L, 7L), (7L, 1L)))
+    assert(got.values.toSet === Set(1L))
+  }
+}
