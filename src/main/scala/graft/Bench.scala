@@ -22,30 +22,140 @@ object Bench {
     s
   }
 
-  /** Encoder+scoring throughput: run all phonetic expressions over n
-    * generated names and count. Returns (rows, seconds).
+  /** Name-like tokens via pure codegen (spark.range + literal array
+    * lookup) so throughput scans measure the encoders, not row-object
+    * generation/GC.
+    */
+  private[graft] def tokenStream(spark: SparkSession, n: Long,
+      col2: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val names = graft.pipeline.NameFixtures.families.flatten
+      .map(_.filter(_.isLetter).toLowerCase)
+    val pool = array(names.map(lit): _*)
+    val base = spark.range(0, n, 1,
+      spark.sparkContext.defaultParallelism)
+    val withA = base.select(col("id"),
+      concat(
+        element_at(pool, (pmod(col("id"), lit(names.length)) + 1).cast("int")),
+        pmod(col("id"), lit(97)).cast("string")).as("token"))
+    if (!col2) withA
+    else withA.withColumn("token_b",
+      element_at(pool,
+        (pmod(col("id") + 13, lit(names.length)) + 1).cast("int")))
+  }
+
+  /** Spin every core for ~1.5s so descheduled vCPUs wake before a timed
+    * section — on this virtualized host the first multi-threaded burst
+    * after idle runs at a fraction of steady-state speed.
+    */
+  def warmCpus(n: Int): Unit = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val threads = (0 until n).map { _ =>
+      val t = new Thread(() => {
+        var x = 0L
+        while (!stop.get()) { x += 1; if (x < 0) println(x) }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    Thread.sleep(1500)
+    stop.set(true)
+    threads.foreach(_.join(100))
+  }
+
+  /** Steady-state timing: execute freshly-built copies of the query until
+    * the time stabilizes and return the best run. Two traps this avoids:
+    * re-running the *same* DataFrame object reuses shuffle outputs (the
+    * repeat would measure nothing), and the first executions of a new
+    * whole-stage-codegen class run interpreted until C2 catches up (30s+
+    * of compile lag on this JVM), which is not the throughput a long-lived
+    * executor sees.
+    */
+  private def steadyState(reps: Int)(build: () => Long): Double = {
+    var best = Double.MaxValue
+    var r = 0
+    while (r < reps) {
+      val t0 = System.nanoTime()
+      build()
+      val s = (System.nanoTime() - t0) / 1e9
+      if (s < best) best = s
+      r += 1
+    }
+    best
+  }
+
+  /** Encoder throughput: run all 12 table-driven phonetic expressions over
+    * n name-like tokens and count. Returns (rows, seconds).
     */
   def encoderThroughput(spark: SparkSession, n: Long): (Long, Double) = {
     import org.apache.spark.sql.functions._
-    val names = graft.pipeline.RepoFiles
-      .generate(spark, n, seed = 1L)
-      .select(col("file_id"), lower(col("path")).as("token"))
-    val t0 = System.nanoTime()
-    val cnt = names.select(
-      call_function("graft_soundex", col("token")),
-      call_function("graft_refined_soundex", col("token")),
-      call_function("graft_metaphone", col("token")),
-      call_function("graft_double_metaphone", col("token")),
-      call_function("graft_nysiis", col("token")),
-      call_function("graft_phonex", col("token")),
-      call_function("graft_cologne", col("token")),
-      call_function("graft_caverphone1", col("token")),
-      call_function("graft_caverphone2", col("token")),
-      call_function("graft_mra_encode", col("token")),
-      call_function("graft_dm_soundex", col("token")),
-      call_function("graft_dm_encode", col("token")))
-      .count()
-    (cnt, (System.nanoTime() - t0) / 1e9)
+    val secs = steadyState(2) { () =>
+      val names = tokenStream(spark, n)
+      // aggregate over every output so Catalyst cannot prune the encoder
+      // projections away (select-then-count measures nothing)
+      val forced = names.select(
+        (length(call_function("graft_soundex", col("token"))) +
+          length(call_function("graft_refined_soundex", col("token"))) +
+          length(call_function("graft_metaphone", col("token"))) +
+          size(call_function("graft_double_metaphone", col("token"))) +
+          length(call_function("graft_nysiis", col("token"))) +
+          length(call_function("graft_phonex", col("token"))) +
+          length(call_function("graft_cologne", col("token"))) +
+          length(call_function("graft_caverphone1", col("token"))) +
+          length(call_function("graft_caverphone2", col("token"))) +
+          length(call_function("graft_mra_encode", col("token"))) +
+          size(call_function("graft_dm_soundex", col("token"))) +
+          length(call_function("graft_dm_encode", col("token"))))
+          .as("w"))
+        .agg(sum(col("w")))
+        .head()
+      require(!forced.isNullAt(0))
+      n
+    }
+    (n, secs)
+  }
+
+  /** Pairwise-scoring throughput: n synthetic candidate pairs through the
+    * full Scoring feature set (JW, Levenshtein, MRA x2, Metaphone eq,
+    * Soundex difference). Returns (pairs, seconds).
+    */
+  def scoringThroughput(spark: SparkSession, n: Long): (Long, Double) = {
+    import org.apache.spark.sql.functions._
+    val secs = steadyState(2) { () =>
+      val pairs = tokenStream(spark, n, col2 = true)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"),
+          col("token").as("token_a"), col("token_b"))
+      // force every feature column (filter-on-one would let Catalyst prune
+      // the rest)
+      val forced = graft.pipeline.Scoring.score(pairs)
+        .select(
+          (col("jaro_winkler") + col("lev") + col("mra_rating") +
+            col("soundex_diff") +
+            col("mra_match").cast("int") + col("metaphone_eq").cast("int"))
+            .as("w"))
+        .agg(sum(col("w")))
+        .head()
+      require(!forced.isNullAt(0))
+      n
+    }
+    (n, secs)
+  }
+
+  /** Beider-Morse throughput, measured separately: at ~100us/encode it is
+    * two orders of magnitude above the table-driven encoders and would
+    * otherwise drown their signal.
+    */
+  def bmThroughput(spark: SparkSession, n: Long): (Long, Double) = {
+    import org.apache.spark.sql.functions._
+    val secs = steadyState(2) { () =>
+      val names = tokenStream(spark, n)
+      val forced = names
+        .select(size(call_function("graft_bm_codes", col("token"))).as("w"))
+        .agg(sum(col("w")))
+        .head()
+      require(!forced.isNullAt(0))
+      n
+    }
+    (n, secs)
   }
 
   def main(args: Array[String]): Unit = {

@@ -113,6 +113,60 @@ object LanguageSet {
     if (langs.isEmpty) NoLanguages else SomeLanguages(langs)
 }
 
+/** Global language-name interner: every language set inside the engine is
+  * a Long bitmask (`&` = restrict, `|` = merge, 0 = no languages,
+  * -1 = any). ~21 distinct languages exist across the three name types, so
+  * 64 bits is ample; semantics match the reference's set algebra exactly
+  * (restrict/merge/isEmpty table in src/beider_morse/languages.rs:42-84
+  * maps 1:1 onto mask ops with Any = all-ones, NoLanguages = 0).
+  */
+private[bm] object LangBits {
+  val Any: Long = -1L
+  val None: Long = 0L
+
+  private val index = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val names = new java.util.concurrent.CopyOnWriteArrayList[String]()
+
+  def bitOf(name: String): Int =
+    index.computeIfAbsent(name, { n =>
+      names.synchronized {
+        names.add(n)
+        val i = names.size - 1
+        require(i < 64, "more than 64 distinct BM languages")
+        Integer.valueOf(i)
+      }
+    }).intValue()
+
+  def maskOf(langs: Iterable[String]): Long = {
+    var m = 0L
+    langs.foreach(l => m |= (1L << bitOf(l)))
+    m
+  }
+
+  def maskOfSet(ls: LanguageSet): Long = ls match {
+    case LanguageSet.AnyLanguage        => Any
+    case LanguageSet.NoLanguages        => None
+    case LanguageSet.SomeLanguages(s)   => maskOf(s)
+  }
+
+  def namesOf(mask: Long): SortedSet[String] = {
+    var m = SortedSet.empty[String]
+    var i = 0
+    val n = names.size
+    while (i < n) {
+      if ((mask & (1L << i)) != 0) m += names.get(i)
+      i += 1
+    }
+    m
+  }
+
+  def isSingleton(mask: Long): Boolean =
+    mask != Any && java.lang.Long.bitCount(mask) == 1
+
+  def singletonName(mask: Long): String =
+    names.get(java.lang.Long.numberOfTrailingZeros(mask))
+}
+
 /** Input viewed as code points, so pattern/context matching is in char
   * space like the reference's `CharSequence` (ref: src/helper.rs:84-197).
   */
@@ -230,10 +284,11 @@ private[bm] object ContextMatcher {
     optimize(regex).getOrElse(RegexMatcher(Pattern.compile(regex)))
 }
 
-/** One replacement alternative of a rule: phoneme text plus the languages it
-  * is valid for (ref: src/beider_morse/rule.rs:79-151).
+/** One replacement alternative of a rule: phoneme text plus the languages
+  * it is valid for, as a [[LangBits]] mask
+  * (ref: src/beider_morse/rule.rs:79-151).
   */
-private[bm] final case class BmPhoneme(text: String, languages: LanguageSet)
+private[bm] final case class BmPhoneme(text: String, langMask: Long)
 
 /** One rewrite rule: `pattern` at position, regex contexts on both sides,
   * alternatives applied as a set-product
@@ -277,27 +332,86 @@ private[bm] object RuleBuckets {
   val empty = new RuleBuckets(Map.empty)
 }
 
+/** Substring matcher for a language-guessing pattern. Most of the ~200
+  * rules per name type are literal fragments with optional `^`/`$` anchors
+  * (`ault$`, `^tz`, `eau`); matching them with `String.indexOf` instead of
+  * `java.util.regex` removes a Matcher allocation + regex scan per rule
+  * per encode. Semantics mirror `Regex::is_match` = find-anywhere.
+  */
+private[bm] sealed trait LangMatcher {
+  def matches(input: String): Boolean
+}
+private[bm] object LangMatcher {
+  final case class Contains(lit: String) extends LangMatcher {
+    def matches(input: String): Boolean = input.contains(lit)
+  }
+  final case class Prefix(lit: String) extends LangMatcher {
+    def matches(input: String): Boolean = input.startsWith(lit)
+  }
+  final case class Suffix(lit: String) extends LangMatcher {
+    def matches(input: String): Boolean = input.endsWith(lit)
+  }
+  final case class Exact(lit: String) extends LangMatcher {
+    def matches(input: String): Boolean = input == lit
+  }
+  final case class Rx(pattern: Pattern) extends LangMatcher {
+    def matches(input: String): Boolean = pattern.matcher(input).find()
+  }
+
+  private def isLiteral(s: String): Boolean =
+    s.forall(c => !"\\[](){}|.*+?^$".contains(c))
+
+  def compile(pattern: String): LangMatcher = {
+    val anchoredStart = pattern.startsWith("^")
+    val anchoredEnd = pattern.endsWith("$")
+    val body = pattern.substring(
+      if (anchoredStart) 1 else 0,
+      pattern.length - (if (anchoredEnd) 1 else 0))
+    if (body.nonEmpty && isLiteral(body)) {
+      (anchoredStart, anchoredEnd) match {
+        case (true, true)   => Exact(body)
+        case (true, false)  => Prefix(body)
+        case (false, true)  => Suffix(body)
+        case (false, false) => Contains(body)
+      }
+    } else Rx(Pattern.compile(pattern))
+  }
+}
+
 /** One language-guessing rule (ref: src/beider_morse/lang.rs:12-34). */
 private[bm] final case class LangRule(
-    pattern: Pattern, languages: SortedSet[String], acceptOnMatch: Boolean)
+    matcher: LangMatcher, langMask: Long, acceptOnMatch: Boolean)
 
 /** Language guesser for one name type
   * (ref: src/beider_morse/lang.rs:36-64).
   */
 private[bm] final class BmLang(
     allLanguages: SortedSet[String], rules: IndexedSeq[LangRule]) {
-  def guessLanguages(input: String): LanguageSet = {
+  private val allMask = LangBits.maskOf(allLanguages)
+
+  /** Empty result maps to the any-language mask, mirroring the reference's
+    * NoLanguages -> Any fallback (ref: src/beider_morse/lang.rs:58-63).
+    */
+  def guessMask(input: String): Long = {
     val lower = input.toLowerCase(Locale.ROOT)
-    var langs = allLanguages
-    rules.foreach { rule =>
-      if (rule.pattern.matcher(lower).find()) {
+    var langs = allMask
+    var i = 0
+    while (i < rules.length) {
+      val rule = rules(i)
+      if (rule.matcher.matches(lower)) {
         langs =
-          if (rule.acceptOnMatch) langs.intersect(rule.languages)
-          else langs.diff(rule.languages)
+          if (rule.acceptOnMatch) langs & rule.langMask
+          else langs & ~rule.langMask
       }
+      i += 1
     }
-    if (langs.isEmpty) LanguageSet.AnyLanguage
-    else LanguageSet.SomeLanguages(langs)
+    if (langs == 0L) LangBits.Any else langs
+  }
+
+  def guessLanguages(input: String): LanguageSet = {
+    val m = guessMask(input)
+    if (m == LangBits.Any) LanguageSet.AnyLanguage
+    else LanguageSet.SomeLanguages(LangBits.namesOf(m))
   }
 }
 
@@ -388,8 +502,8 @@ private[bm] object BmParser {
         throw new IllegalStateException(s"Phoneme $s has '[' but no trailing ']'")
       val text = s.substring(0, idx)
       val langs = s.substring(idx + 1, s.length - 1).split("\\+", -1)
-      BmPhoneme(text, LanguageSet.of(langs.toSeq))
-    } else BmPhoneme(s, LanguageSet.AnyLanguage)
+      BmPhoneme(text, LangBits.maskOf(langs.toSeq))
+    } else BmPhoneme(s, LangBits.Any)
   }
 
   /** `(a|b|c)` alternative list; a leading/trailing `|` adds an extra empty
@@ -403,7 +517,7 @@ private[bm] object BmParser {
       val inner = s.substring(1, s.length - 1)
       val phs = inner.split("\\|", -1).toIndexedSeq.map(parsePhoneme)
       if (inner.startsWith("|") || inner.endsWith("|"))
-        phs :+ BmPhoneme("", LanguageSet.AnyLanguage)
+        phs :+ BmPhoneme("", LangBits.Any)
       else phs
     } else IndexedSeq(parsePhoneme(s))
   }
@@ -459,8 +573,8 @@ private[bm] object BmParser {
         case "false" => false
         case other   => fail(name, s"not a boolean: $other")
       }
-      LangRule(Pattern.compile(fields(0)),
-        SortedSet.from(fields(1).split("\\+", -1)), accept)
+      LangRule(LangMatcher.compile(fields(0)),
+        LangBits.maskOf(fields(1).split("\\+", -1).toSeq), accept)
     }
     new BmLang(allLanguages, rules.toIndexedSeq)
   }
@@ -472,6 +586,108 @@ private[bm] object BmParser {
     val name = s"${nameType.code}_languages"
     val lines = readResource(name).getOrElse(fail(name, "missing resource"))
     SortedSet.from(contentLines(name, lines).map(_.trim))
+  }
+}
+
+/** Mutable sorted set of (phoneme text, languages), array-backed — stands
+  * in for the reference's `BTreeSet<Phoneme>` (Ord on text only; set-insert
+  * keeps the first languages on text collision,
+  * ref: src/beider_morse/engine.rs:34-81). Sizes are <= maxPhonemes (~20),
+  * where a sorted array beats a tree on both allocation and cache behavior
+  * — this sits on the per-row hot path of the Spark expression.
+  */
+private[bm] final class PhonemeSet(initialCapacity: Int) {
+  private var texts = new Array[String](math.max(initialCapacity, 4))
+  private var langs = new Array[Long](texts.length)
+  var size: Int = 0
+
+  def textAt(i: Int): String = texts(i)
+  def langAt(i: Int): Long = langs(i)
+
+  /** Index if present, else -(insertionPoint)-1. Ordering is the
+    * reference's `Phoneme::cmp`: code point by code point, then length
+    * (ref: src/beider_morse/rule.rs:91-105) — output order and uniqueness
+    * both hang off it.
+    */
+  private def indexOf(text: String): Int = {
+    var lo = 0
+    var hi = size - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = PhonemeSet.compareText(texts(mid), text)
+      if (c < 0) lo = mid + 1
+      else if (c > 0) hi = mid - 1
+      else return mid
+    }
+    -(lo + 1)
+  }
+
+  private def insertAt(ip: Int, text: String, lang: Long): Unit = {
+    if (size == texts.length) {
+      texts = java.util.Arrays.copyOf(texts, size * 2)
+      langs = java.util.Arrays.copyOf(langs, size * 2)
+    }
+    System.arraycopy(texts, ip, texts, ip + 1, size - ip)
+    System.arraycopy(langs, ip, langs, ip + 1, size - ip)
+    texts(ip) = text
+    langs(ip) = lang
+    size += 1
+  }
+
+  /** BTreeSet::insert semantics: existing (Ord-equal) element wins. */
+  def insertIfAbsent(text: String, lang: Long): Unit = {
+    val i = indexOf(text)
+    if (i < 0) insertAt(-i - 1, text, lang)
+  }
+
+  /** Final-rule merge: on text collision the existing languages merge with
+    * `mergeLangs` (the pre-final-rule phoneme's languages,
+    * ref: src/beider_morse/engine.rs:171-180).
+    */
+  def insertOrMergeWith(text: String, lang: Long, mergeLangs: Long): Unit = {
+    val i = indexOf(text)
+    if (i >= 0) langs(i) = langs(i) | mergeLangs
+    else insertAt(-i - 1, text, lang)
+  }
+
+  /** New set with `suffix` appended to every text (appending can reorder,
+    * so re-insert).
+    */
+  def withSuffix(suffix: String): PhonemeSet = {
+    val out = new PhonemeSet(size)
+    var i = 0
+    while (i < size) {
+      out.insertIfAbsent(texts(i) + suffix, langs(i))
+      i += 1
+    }
+    out
+  }
+
+  def makeString: String = {
+    if (size == 0) return ""
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < size) {
+      if (i > 0) sb.append('|')
+      sb.append(texts(i))
+      i += 1
+    }
+    sb.toString
+  }
+}
+
+private[bm] object PhonemeSet {
+  def compareText(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
   }
 }
 
@@ -518,65 +734,43 @@ final class BeiderMorse(
 
   private val lang = config.langs(nameType)
 
-  /** Phoneme texts ordered by code point, then length — the reference's
-    * `Phoneme::cmp` (ref: src/beider_morse/rule.rs:91-105). Uniqueness and
-    * sort order of the output both hang off this ordering.
-    */
-  private implicit val phonemeOrdering: Ordering[String] = new Ordering[String] {
-    def compare(a: String, b: String): Int = {
-      var i = 0
-      var j = 0
-      while (i < a.length && j < b.length) {
-        val ca = a.codePointAt(i)
-        val cb = b.codePointAt(j)
-        if (ca != cb) return Integer.compare(ca, cb)
-        i += Character.charCount(ca)
-        j += Character.charCount(cb)
-      }
-      Integer.compare(a.length - i, b.length - j)
-    }
-  }
-
-  /** Ordered map text -> languages standing in for the reference's
-    * `BTreeSet<Phoneme>` (Ord on text only; set-insert keeps the first
-    * languages on text collision, ref: src/beider_morse/engine.rs:34-81).
-    */
-  private type Phonemes = mutable.TreeMap[String, LanguageSet]
-
-  private def emptyBuilder(languages: LanguageSet): Phonemes = {
-    val m = new Phonemes()(phonemeOrdering)
-    m.put("", languages)
-    m
+  private def emptyBuilder(langMask: Long): PhonemeSet = {
+    val s = new PhonemeSet(4)
+    s.insertIfAbsent("", langMask)
+    s
   }
 
   private def applyRule(
-      phonemes: Phonemes, alternatives: IndexedSeq[BmPhoneme]): Phonemes = {
-    val out = new Phonemes()(phonemeOrdering)
-    val it = phonemes.iterator
+      phonemes: PhonemeSet, alternatives: IndexedSeq[BmPhoneme]): PhonemeSet = {
+    val out = new PhonemeSet(math.min(maxPhonemes, 8))
+    var i = 0
     var break = false
-    while (it.hasNext && !break) {
-      val (leftText, leftLangs) = it.next()
+    while (i < phonemes.size && !break) {
+      val leftText = phonemes.textAt(i)
+      val leftLangs = phonemes.langAt(i)
       var r = 0
       while (r < alternatives.length && !break) {
         val right = alternatives(r)
-        val languages = leftLangs.restrictTo(right.languages)
-        if (!languages.isEmpty) {
-          if (out.size < maxPhonemes) {
-            val joined = leftText + right.text
-            if (!out.contains(joined)) out.put(joined, languages)
-          }
+        val languages = leftLangs & right.langMask
+        if (languages != 0L) {
+          if (out.size < maxPhonemes)
+            out.insertIfAbsent(leftText + right.text, languages)
           if (out.size >= maxPhonemes) break = true
         }
         r += 1
       }
+      i += 1
     }
     out
   }
 
-  private def applyFinalRules(phonemes: Phonemes, finalRules: RuleBuckets): Phonemes = {
+  private def applyFinalRules(phonemes: PhonemeSet, finalRules: RuleBuckets): PhonemeSet = {
     if (finalRules.isEmpty) return phonemes
-    val out = new Phonemes()(phonemeOrdering)
-    phonemes.foreach { case (text, origLangs) =>
+    val out = new PhonemeSet(phonemes.size + 4)
+    var p = 0
+    while (p < phonemes.size) {
+      val text = phonemes.textAt(p)
+      val origLangs = phonemes.langAt(p)
       var sub = emptyBuilder(origLangs)
       val input = new CodePoints(text)
       var i = 0
@@ -593,35 +787,49 @@ final class BeiderMorse(
           sub = applyRule(sub, matched.phonemes)
           i += matched.patternLength
         } else {
-          // unmatched char passes through in final-rule passes (only):
-          // ref src/beider_morse/engine.rs:163-166
-          val ch = input.substring(i, i + 1)
-          val appended = new Phonemes()(phonemeOrdering)
-          sub.foreach { case (t, l) => appended.put(t + ch, l) }
-          sub = appended
-          i += 1
+          // unmatched chars pass through in final-rule passes (only):
+          // ref src/beider_morse/engine.rs:163-166. Batch the whole
+          // unmatched run into one append — identical to per-char appends
+          // (append never interacts with the phoneme cap).
+          var j = i + 1
+          while (j < len && {
+            val bucket2 = finalRules.get(input.cps(j))
+            var any = false
+            var b2 = 0
+            while (!any && b2 < bucket2.length) {
+              if (bucket2(b2).matches(input, j)) any = true
+              b2 += 1
+            }
+            !any
+          }) j += 1
+          sub = sub.withSuffix(input.substring(i, j))
+          i = j
         }
       }
-      sub.foreach { case (t, subLangs) =>
-        out.get(t) match {
-          case Some(existing) => out.put(t, existing.merge(origLangs))
-          case None           => out.put(t, subLangs)
-        }
+      var s = 0
+      while (s < sub.size) {
+        out.insertOrMergeWith(sub.textAt(s), sub.langAt(s), origLangs)
+        s += 1
       }
+      p += 1
     }
     out
   }
 
-  def encode(input: String): String =
-    encodeWithLanguageSet(input, lang.guessLanguages(input))
+  def encode(input: String): String = {
+    val mask = lang.guessMask(input)
+    encodeWithMask(input,
+      if (LangBits.isSingleton(mask)) LangBits.singletonName(mask) else "any",
+      mask)
+  }
 
   def encodeWithLanguages(input: String, languages: LanguageSet): String =
-    encodeWithLanguageSet(input, languages)
+    encodeWithMask(input,
+      if (languages.isSingleton) languages.anyOf.get else "any",
+      LangBits.maskOfSet(languages))
 
-  private def encodeWithLanguageSet(input0: String, languages: LanguageSet): String = {
-    val l =
-      if (languages.isSingleton) languages.anyOf.get
-      else "any"
+  private def encodeWithMask(input0: String, l: String,
+      seedMask: Long): String = {
     val rules = config.rulesFor(nameType, "rules", l)
     val finalRules1 = config.rulesFor(nameType, ruleType.code, "common")
     val finalRules2 = config.rulesFor(nameType, ruleType.code, l)
@@ -643,7 +851,7 @@ final class BeiderMorse(
       }
     }
 
-    val words = input.split("\\s+").filter(_.nonEmpty)
+    val words = BeiderMorse.Whitespace.split(input).filter(_.nonEmpty)
 
     if (!concat && words.length != 1)
       return words.map(encode).mkString("-")
@@ -660,7 +868,7 @@ final class BeiderMorse(
       if (concat) words2.mkString(" ")
       else words(0)
 
-    var builder = emptyBuilder(languages)
+    var builder = emptyBuilder(seedMask)
     val cps = new CodePoints(finalInput)
     var i = 0
     val end = cps.length
@@ -685,12 +893,16 @@ final class BeiderMorse(
     builder = applyFinalRules(builder, finalRules1)
     builder = applyFinalRules(builder, finalRules2)
 
-    builder.keysIterator.mkString("|")
+    builder.makeString
   }
 }
 
 object BeiderMorse {
   val DefaultMaxPhonemes = 20
+
+  // precompiled: String.split(regex) recompiles multi-char patterns per call
+  private[bm] val Whitespace = java.util.regex.Pattern.compile("\\s+")
+  private val CodeSeparators = java.util.regex.Pattern.compile("[|()\\-]+")
 
   /** Name prefixes encoded both with and without
     * (ref: src/beider_morse/engine.rs:11-32); iteration order is the
@@ -714,5 +926,5 @@ object BeiderMorse {
     * prefix groups `(a|b)-(c|d)` and non-concat word joins all flatten.
     */
   def splitCodes(encoded: String): Array[String] =
-    encoded.split("[|()\\-]+").filter(_.nonEmpty)
+    CodeSeparators.split(encoded).filter(_.nonEmpty)
 }

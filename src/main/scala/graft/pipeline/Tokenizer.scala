@@ -48,8 +48,11 @@ object Tokenizer {
     * cluster. Scale path: only the (tiny) common-token head is broadcast;
     * the token stream itself is never collected or re-shuffled.
     */
-  def pruneCommon(tokens: DataFrame, maxDfFraction: Double = 0.05): DataFrame = {
-    val nFiles = tokens.select("file_id").distinct().count()
+  def pruneCommon(tokens: DataFrame, maxDfFraction: Double = 0.05,
+      knownFileCount: Long = -1L): DataFrame = {
+    val nFiles =
+      if (knownFileCount > 0) knownFileCount
+      else tokens.select("file_id").distinct().count()
     val cap = math.max(1L, (nFiles * maxDfFraction).toLong)
     // tokens are distinct per file, so count = document frequency
     val common = tokens
