@@ -121,12 +121,12 @@ object ScalingBench {
     // with the median efficiency (robust to a single noisy round)
     def interleaved(n: Long)(
         work: (org.apache.spark.sql.SparkSession, Long) => (Long, Double)): (Double, Double) = {
-      val rounds = (0 until 3).map { _ =>
+      val rounds = (0 until 2).map { _ =>
         val l = measure(low, n)(work)._2
         val h = measure(high, n)(work)._2
         (l, h)
       }
-      rounds.sortBy { case (l, h) => h / l }.apply(rounds.length / 2)
+      rounds.sortBy { case (l, h) => h / l }.apply((rounds.length - 1) / 2)
     }
 
     if (mode == "scans" || mode == "all") {
