@@ -245,6 +245,13 @@ object SparkEntry {
         emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
         dim = 64, k = 10, nPlanes = 8)
     }),
+    "q_embedding_dedup" -> ((s, dir) => {
+      // testdata embeddings are near-random (max pairwise cosine ~0.48);
+      // 0.3 exercises the LSH-bucket + exact-verify path with real output
+      Dedup.embeddingNearDups(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, nPlanes = 4, minCosine = 0.3)
+    }),
     "q_langid" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy(TextAnalysis.langIdCol(col("text")).as("lang_guess"))

@@ -48,15 +48,29 @@ final class TableIO(spark: SparkSession, root: String) {
     writer.parquet(tmp.toString)
 
     val committed = spark.read.parquet(tmp.toString)
-    val rows = committed.count()
-    val partitions = committed.rdd.getNumPartitions
+    // per-partition lineage counters (north rule): row count per partition
+    // in one pass; the histogram summary lands in the manifest as skew
+    // evidence (max/min/mean rows per partition)
+    val partCounts = committed
+      .groupBy(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .count()
+      .collect()
+      .map(r => r.getLong(1))
+      .sorted
+    val rows = partCounts.sum
+    val partitions = partCounts.length
 
     deleteRecursively(stageDir(stage))
     Files.move(tmp, stageDir(stage), StandardCopyOption.ATOMIC_MOVE)
 
     val elapsedMs = (System.nanoTime() - t0) / 1000000
+    val maxRows = if (partCounts.isEmpty) 0L else partCounts.last
+    val minRows = if (partCounts.isEmpty) 0L else partCounts.head
+    val meanRows = if (partitions == 0) 0L else rows / partitions
     val manifest =
       s"""{"stage":"${esc(stage)}","rows":$rows,"partitions":$partitions,
+         |"partition_rows":{"min":$minRows,"mean":$meanRows,"max":$maxRows},
+         |"rows_per_sec":${if (elapsedMs == 0) 0 else rows * 1000 / elapsedMs},
          |"upstream":[${upstream.map(u => "\"" + esc(u) + "\"").mkString(",")}],
          |"elapsed_ms":$elapsedMs,
          |"committed_at":"${java.time.Instant.now()}"}""".stripMargin

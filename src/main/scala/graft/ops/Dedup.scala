@@ -140,4 +140,39 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-duplicate pairs: bucket vectors by
+    * random-hyperplane LSH signature ([[SimilaritySearch.lshSignature]]),
+    * self-join within buckets (capped for skew), verify with exact cosine.
+    * Candidate count ~ sum of bucket^2, never O(n^2); recall trades off
+    * via nPlanes.
+    */
+  def embeddingNearDups(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nPlanes: Int = 12,
+      minCosine: Double = 0.9,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sigs = df.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      SimilaritySearch.lshSignature(col(vecCol), dim, nPlanes).as("sig"))
+    val capped = sigs
+      .withColumn("bucket_size",
+        count(lit(1)).over(Window.partitionBy("sig")))
+      .where(col("bucket_size") <= maxBucketSize)
+      .drop("bucket_size")
+    val a = capped.select(col("sig"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = capped.select(col("sig"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    a.join(b, "sig")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        round(SimilaritySearch.cosine(col("vec_a"), col("vec_b")), 6))
+      .where(col("cos_sim") >= minCosine)
+      .select("id_a", "id_b", "cos_sim")
+      .dropDuplicates("id_a", "id_b")
+  }
 }

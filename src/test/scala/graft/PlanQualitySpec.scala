@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the properties that make these queries viable
+  * at 100 TB (predicate pushdown into the parquet scan, column pruning,
+  * broadcast of small sides, whole-stage codegen around the phonetic
+  * expressions) are checked here so a regression in plan shape fails CI,
+  * not a cluster run.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionTestWrapper.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters push down to the parquet scan; columns prune") {
+    val df = SparkEntry.queries("q_filter_project")(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThan(l_quantity"), p)
+    // projection of 3 columns + 2 filter columns; the 16-column lineitem
+    // scan must not read more than those
+    assert(p.contains("ReadSchema"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      readSchema)
+  }
+
+  test("dimension join broadcasts the small side") {
+    val df = SparkEntry.queries("q_join_agg")(spark, sfDir)
+    // AQE decides at runtime — force execution, then check the final plan
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("ANN brute force broadcasts the query set") {
+    val df = SparkEntry.queries("q_ann_brute")(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("phonetic expressions sit inside whole-stage codegen, no ScalaUDF") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.range(10)
+      .select(concat(lit("name"), col("id")).as("name"))
+      .select(
+        call_function("graft_soundex", col("name")),
+        call_function("graft_metaphone", col("name")),
+        call_function("graft_beider_morse", col("name")))
+    val p = plan(df)
+    // '*(n)' is the executedPlan marker for a WholeStageCodegen stage
+    assert(p.contains("*(1) Project [graft_soundex"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("blocking key generation is a single projection pipeline (no shuffle before explode)") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val tokens = Seq((1L, "washington")).toDF("file_id", "token")
+    val p = plan(graft.pipeline.Blocking.blockingKeys(tokens))
+    assert(!p.contains("Exchange"), p)
+  }
+}

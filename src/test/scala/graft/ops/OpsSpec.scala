@@ -42,6 +42,27 @@ class DedupSpec extends AnyFunSuite {
     assert(!cands.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("embedding near-dups: identical and noisy copies found, opposite not") {
+    import spark.implicits._
+    val dim = 16
+    val base = (0 until dim).map(i => math.sin(i * 1.7).toFloat).toArray
+    val noisy = base.zipWithIndex
+      .map { case (x, i) => x + (if (i % 5 == 0) 0.01f else -0.01f) }
+    val opposite = base.map(-_)
+    val df = Seq(
+      (1L, base.toSeq), (2L, noisy.toSeq), (3L, opposite.toSeq),
+      (4L, base.toSeq)).toDF("vec_id", "embedding")
+    val pairs = Dedup
+      .embeddingNearDups(df, "vec_id", "embedding", dim,
+        nPlanes = 4, minCosine = 0.95)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 1.0)
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.95)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("simhash hamming distance small for near-dups") {
     import spark.implicits._
     val base = "spark is a unified analytics engine for large scale data"
