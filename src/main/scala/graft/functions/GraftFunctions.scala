@@ -74,6 +74,9 @@ object GraftFunctions {
       "graft_refined_soundex_difference(a, b)"),
     ("graft_jaro_winkler", args => JaroWinklerExpr(args(0), args(1)),
       "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]"),
+    ("graft_score_features", args => ScoreFeaturesExpr(args(0), args(1)),
+      "graft_score_features(a, b) - struct of all pairwise scoring " +
+        "features computed in one pass"),
     ("graft_beider_morse", {
       case Seq(c) => BeiderMorseExpr(c, "gen", "approx", concat = true, 20)
       case Seq(c, nt) => BeiderMorseExpr(c, strLit(nt), "approx", concat = true, 20)
@@ -137,6 +140,8 @@ object GraftFunctions {
     call_function("graft_soundex_difference", a, b)
   def graftJaroWinkler(a: Column, b: Column): Column =
     call_function("graft_jaro_winkler", a, b)
+  def graftScoreFeatures(a: Column, b: Column): Column =
+    call_function("graft_score_features", a, b)
 }
 
 /** `spark.sql.extensions`-pluggable registration. */

@@ -82,6 +82,25 @@ object PhoneticFunctions {
   def jaroWinkler(a: UTF8String, b: UTF8String): Double =
     JaroWinkler.similarity(a.toString, b.toString)
 
+  /** All pairwise scoring features in ONE pass — strings converted once,
+    * MRA encodes shared between rating and match decision, Levenshtein on
+    * raw UTF8Strings. Returns struct(jaro_winkler, lev, mra_match,
+    * mra_rating, metaphone_eq, soundex_diff); whole-stage codegen's
+    * subexpression elimination keeps it evaluated once per row even when
+    * all six fields are projected.
+    */
+  def scoreFeatures(ua: UTF8String, ub: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val a = ua.toString
+    val b = ub.toString
+    val jw = JaroWinkler.similarity(a, b)
+    val lev = ua.levenshteinDistance(ub)
+    val (mraRating, mraMatch) = MatchRatingApproach.ratingAndMatch(a, b)
+    val mpEq = Metaphone.default.encode(a) == Metaphone.default.encode(b)
+    val sxDiff = Soundex.default.difference(a, b)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](jw, lev, mraMatch, mraRating, mpEq, sxDiff))
+  }
+
   /** Cache of Beider-Morse engines keyed by options; rule tables themselves
     * are parsed once per JVM in [[graft.phonetic.bm.BmConfig.default]].
     */

@@ -268,6 +268,31 @@ abstract class StringBinaryPhonetic extends BinaryExpression {
     defineCodeGen(ctx, ev, (a, b) => s"${Gen.F}.$method($a, $b)")
 }
 
+/** Fused pairwise scoring: every feature of [[graft.pipeline.Scoring]] in
+  * one evaluation (strings converted once, MRA encodes shared). Field
+  * order: jaro_winkler, lev, mra_match, mra_rating, metaphone_eq,
+  * soundex_diff.
+  */
+case class ScoreFeaturesExpr(left: Expression, right: Expression)
+    extends StringBinaryPhonetic {
+  override def method: String = "scoreFeatures"
+  override def dataType: DataType = StructType(Seq(
+    StructField("jaro_winkler", DoubleType, nullable = false),
+    StructField("lev", IntegerType, nullable = false),
+    StructField("mra_match", BooleanType, nullable = false),
+    StructField("mra_rating", IntegerType, nullable = false),
+    StructField("metaphone_eq", BooleanType, nullable = false),
+    StructField("soundex_diff", IntegerType, nullable = false)))
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PhoneticFunctions.scoreFeatures(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_score_features"
+}
+
 /** MRA similarity-rating comparator (ref:
   * /root/reference/src/match_rating_approach.rs:202-228) — the pairwise
   * scoring predicate applied post-blocking.

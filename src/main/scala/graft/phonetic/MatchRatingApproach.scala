@@ -147,6 +147,22 @@ object MatchRatingApproach extends PhoneticEncoder {
     leftRightRating(name1, name2) >= minRating
   }
 
+  /** (rating, isMatch) with shared encodes — one pass for both features.
+    * Semantics identical to [[rating]] + [[isEncodedEquals]]: guard
+    * failures rate -1 and never match; identical raw strings always match
+    * (ref: match_rating_approach.rs:211-213) but still rate normally.
+    */
+  def ratingAndMatch(first: String, second: String): (Int, Boolean) = {
+    if (first.trim.isEmpty || second.trim.isEmpty) return (-1, false)
+    if (trimmedLenIsOne(first) || trimmedLenIsOne(second)) return (-1, false)
+    val name1 = encode(first)
+    val name2 = encode(second)
+    if (math.abs(name1.length - name2.length) >= 3)
+      return (-1, first == second)
+    val r = leftRightRating(name1, name2)
+    (r, first == second || r >= minimumRating(name1.length + name2.length))
+  }
+
   /** Rating as an Int feature for pair scoring (6 best, guard-failures -1). */
   def rating(first: String, second: String): Int = {
     if (first.trim.isEmpty || second.trim.isEmpty) return -1

@@ -19,13 +19,17 @@ object Scoring {
   def score(pairs: DataFrame): DataFrame = {
     val a = col("token_a")
     val b = col("token_b")
+    // one fused expression per pair: token strings converted once, MRA
+    // encodes shared; whole-stage codegen's subexpression elimination
+    // evaluates the struct once even though six fields are extracted
+    val f = graftScoreFeatures(a, b)
     pairs
-      .withColumn("jaro_winkler", graftJaroWinkler(a, b))
-      .withColumn("lev", levenshtein(a, b))
-      .withColumn("mra_match", graftMraMatch(a, b))
-      .withColumn("mra_rating", graftMraRating(a, b))
-      .withColumn("metaphone_eq", graftMetaphone(a) === graftMetaphone(b))
-      .withColumn("soundex_diff", graftSoundexDifference(a, b))
+      .withColumn("jaro_winkler", f.getField("jaro_winkler"))
+      .withColumn("lev", f.getField("lev"))
+      .withColumn("mra_match", f.getField("mra_match"))
+      .withColumn("mra_rating", f.getField("mra_rating"))
+      .withColumn("metaphone_eq", f.getField("metaphone_eq"))
+      .withColumn("soundex_diff", f.getField("soundex_diff"))
   }
 
   /** Jaro-Winkler corroboration threshold for MRA in the *clustering*
