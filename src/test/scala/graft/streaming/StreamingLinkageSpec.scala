@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSessionTestWrapper
+
+/** Streaming incremental linkage: records arriving in different
+  * micro-batches still co-block and link (state carries the block across
+  * batches).
+  */
+class StreamingLinkageSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionTestWrapper.spark
+
+  test("cross-micro-batch matches are emitted from block state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[TokenEvent]
+    val edges = StreamingLinkage.edges(spark, input.toDS())
+    val query = edges.writeStream
+      .format("memory")
+      .queryName("stream_edges")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: smith + an unrelated name
+      input.addData(TokenEvent(1L, "smith"), TokenEvent(2L, "alessandro"))
+      query.processAllAvailable()
+      val afterBatch1 = spark.table("stream_edges").collect()
+      assert(afterBatch1.isEmpty, afterBatch1.mkString(","))
+
+      // batch 2: smyth arrives later and must link to batch-1 smith
+      input.addData(TokenEvent(3L, "smyth"))
+      query.processAllAvailable()
+      val pairs = spark.table("stream_edges").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 3L)), pairs.mkString(","))
+      assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+    } finally query.stop()
+  }
+}
