@@ -57,6 +57,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("driver contract: entry() produces clusters") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum === 500L) // all files clustered
+  }
+
   test("blocking key generation is a single projection pipeline (no shuffle before explode)") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
