@@ -5,17 +5,20 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
+import graft.goldens.Goldens
 import graft.ops.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
-import graft.pipeline.{Blocking, LinkagePipeline, RepoFiles, Scoring, Tokenizer}
+import graft.pipeline.{Blocking, RepoFiles, Scoring, Tokenizer}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` exposes one entry per implemented operator (SURVEY.md §2 plus
-  * the training-data ops). Queries whose semantics DuckDB can express have
-  * an `oracleSql` entry (hash-compared by the driver); phonetic-encoder
-  * queries have no SQL equivalent (DuckDB has no phonetic functions) and
-  * get rows-only checks — their bit-exactness is covered by the ported
-  * golden-vector suites under `sbt -batch test`.
+  * the training-data ops). Every phonetic operator query encodes the
+  * reference's OWN golden test vectors ([[graft.goldens.Goldens]], ported
+  * from /root/reference test fixtures) and its `oracleSql` is a
+  * VALUES-literal table of the reference-expected codes — so a driver hash
+  * match proves bit-exactness against the reference per operator, through
+  * an independent engine (DuckDB). Engine-relational and text-analysis
+  * queries have semantically equivalent DuckDB SQL oracles.
   */
 object SparkEntry {
 
@@ -26,14 +29,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Distinct word tokens of part names — the name-like corpus for the
-    * phonetic operator queries.
+  private def tokensDf(s: SparkSession, tokens: Seq[String]): DataFrame = {
+    import s.implicits._
+    tokens.toDF("token")
+  }
+
+  private def pairsDf(s: SparkSession, pairs: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    pairs.toDF("token_a", "token_b")
+  }
+
+  /** Golden-vector unary-encoder query: encode the reference's own test
+    * inputs, output (token, code).
     */
-  private def partTokens(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "part")
-      .select(explode(split(col("p_name"), "\\s+")).as("token"))
-      .where(length(col("token")) >= 2)
-      .distinct()
+  private def goldenUnary(s: SparkSession, vectors: Seq[(String, String)],
+      fn: String): DataFrame = {
+    reg(s)
+    tokensDf(s, vectors.map(_._1))
+      .select(col("token"), call_function(fn, col("token")).as("code"))
+  }
 
   /** Flagship: the record-linkage pipeline end-to-end on a synthesized
     * repo-file table (north rule shape); driver smoke-checks rows>0.
@@ -112,104 +126,135 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.fingerprintCol(col("text")).as("fp"))
     }),
-    // ---- phonetic encoders (rows-only; golden-tested via sbt test) ----
-    "q_soundex" -> ((s, dir) => {
+    // ---- phonetic encoders: reference golden vectors, VALUES oracles ----
+    "q_soundex" -> ((s, _) => goldenUnary(s, Goldens.soundex, "graft_soundex")),
+    "q_soundex_variants" -> ((s, _) => {
       reg(s)
-      partTokens(s, dir)
-        .groupBy(graftSoundex(col("token")).as("code"))
-        .agg(count(lit(1)).as("cnt"))
+      def part(variant: String, fnCol: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        tokensDf(s, Goldens.soundexVariants.filter(_._1 == variant).map(_._2))
+          .select(lit(variant).as("variant"), col("token"),
+            fnCol(col("token")).as("code"))
+      part("genealogy", c => call_function("graft_soundex_genealogy", c))
+        .union(part("simplified",
+          c => call_function("graft_soundex_simplified", c)))
+        .union(part("custom", c => call_function("graft_soundex_mapping", c,
+          lit(Goldens.soundexCustomMapping))))
     }),
-    "q_refined_soundex" -> ((s, dir) => {
+    "q_refined_soundex" -> ((s, _) =>
+      goldenUnary(s, Goldens.refinedSoundex, "graft_refined_soundex")),
+    "q_cologne" -> ((s, _) => goldenUnary(s, Goldens.cologne, "graft_cologne")),
+    "q_caverphone1" -> ((s, _) =>
+      goldenUnary(s, Goldens.caverphone1, "graft_caverphone1")),
+    "q_caverphone2" -> ((s, _) =>
+      goldenUnary(s, Goldens.caverphone2, "graft_caverphone2")),
+    "q_metaphone" -> ((s, _) => {
       reg(s)
-      partTokens(s, dir)
-        .select(col("token"), graftRefinedSoundex(col("token")).as("code"))
+      def part(variant: String, maxLen: Int) =
+        tokensDf(s, Goldens.metaphone.filter(_._1 == variant).map(_._2))
+          .select(lit(variant).as("variant"), col("token"),
+            call_function("graft_metaphone", col("token"), lit(maxLen))
+              .as("code"))
+      part("len4", 4).union(part("len6", 6)).union(part("unbounded", 0))
     }),
-    "q_metaphone" -> ((s, dir) => {
+    "q_double_metaphone" -> ((s, _) => {
       reg(s)
-      partTokens(s, dir)
-        .select(col("token"), graftMetaphone(col("token")).as("code"))
-    }),
-    "q_double_metaphone" -> ((s, dir) => {
-      reg(s)
-      partTokens(s, dir)
+      tokensDf(s, Goldens.doubleMetaphone.map(_._1))
         .select(col("token"),
-          explode(graftDoubleMetaphone(col("token"))).as("code"))
+          call_function("graft_double_metaphone_primary", col("token"))
+            .as("code_primary"),
+          call_function("graft_double_metaphone_alternate", col("token"))
+            .as("code_alternate"))
     }),
-    "q_nysiis" -> ((s, dir) => {
+    "q_double_metaphone_equal" -> ((s, _) => {
       reg(s)
-      partTokens(s, dir)
-        .select(col("token"), graftNysiis(col("token")).as("code"))
+      def part(alt: Boolean) =
+        pairsDf(s, Goldens.dmEqual.filter(_._3 == alt).map(r => (r._1, r._2)))
+          .select(col("token_a"), col("token_b"), lit(alt).as("alternate"),
+            call_function("graft_double_metaphone_equal",
+              col("token_a"), col("token_b"), lit(alt)).as("dm_equal"))
+      part(false).union(part(true))
     }),
-    "q_phonex" -> ((s, dir) => {
+    "q_nysiis" -> ((s, _) => {
       reg(s)
-      partTokens(s, dir)
-        .select(col("token"), graftPhonex(col("token")).as("code"))
+      def part(variant: String, strict: Boolean) =
+        tokensDf(s, Goldens.nysiis.filter(_._1 == variant).map(_._2))
+          .select(lit(variant).as("variant"), col("token"),
+            call_function("graft_nysiis", col("token"), lit(strict))
+              .as("code"))
+      part("strict", strict = true).union(part("lax", strict = false))
     }),
-    "q_cologne" -> ((s, dir) => {
+    "q_phonex" -> ((s, _) => goldenUnary(s, Goldens.phonex, "graft_phonex")),
+    "q_mra_encode" -> ((s, _) =>
+      goldenUnary(s, Goldens.mraEncode, "graft_mra_encode")),
+    "q_dm_soundex" -> ((s, _) => {
       reg(s)
-      partTokens(s, dir)
-        .select(col("token"), graftCologne(col("token")).as("code"))
-    }),
-    "q_caverphone1" -> ((s, dir) => {
-      reg(s)
-      partTokens(s, dir)
-        .select(col("token"), graftCaverphone1(col("token")).as("code"))
-    }),
-    "q_caverphone2" -> ((s, dir) => {
-      reg(s)
-      partTokens(s, dir)
-        .select(col("token"), graftCaverphone2(col("token")).as("code"))
-    }),
-    "q_mra_encode" -> ((s, dir) => {
-      reg(s)
-      partTokens(s, dir)
-        .select(col("token"), graftMraEncode(col("token")).as("code"))
-    }),
-    "q_dm_soundex" -> ((s, dir) => {
-      reg(s)
-      partTokens(s, dir)
+      tokensDf(s, Goldens.dmSoundex.map(_._1))
         .select(col("token"),
-          explode(graftDmSoundex(col("token"))).as("code"))
+          concat_ws("|", call_function("graft_dm_soundex", col("token")))
+            .as("code"))
     }),
-    "q_beider_morse" -> ((s, dir) => {
+    "q_dm_encode" -> ((s, _) =>
+      goldenUnary(s, Goldens.dmEncode, "graft_dm_encode")),
+    "q_beider_morse" -> ((s, _) => {
       reg(s)
-      partTokens(s, dir)
+      Goldens.beiderMorse
+        .groupBy { case (nt, rt, cc, mp, _, _) => (nt, rt, cc, mp) }
+        .toSeq.sortBy(_._1.toString)
+        .map { case ((nt, rt, cc, mp), rows) =>
+          tokensDf(s, rows.map(_._5))
+            .select(lit(nt).as("name_type"), lit(rt).as("rule_type"),
+              lit(cc).as("concat_words"), lit(mp).as("max_phonemes"), col("token"),
+              call_function("graft_beider_morse", col("token"),
+                lit(nt), lit(rt), lit(cc), lit(mp)).as("code"))
+        }
+        .reduce(_.union(_))
+    }),
+    "q_bm_lang_restricted" -> ((s, _) => {
+      reg(s)
+      Goldens.bmLangRestricted
+        .groupBy { case (nt, rt, cc, mp, langs, _, _) => (nt, rt, cc, mp, langs) }
+        .toSeq.sortBy(_._1.toString)
+        .map { case ((nt, rt, cc, mp, langs), rows) =>
+          tokensDf(s, rows.map(_._6))
+            .select(lit(nt).as("name_type"), lit(rt).as("rule_type"),
+              lit(cc).as("concat_words"), lit(mp).as("max_phonemes"),
+              lit(langs).as("languages"), col("token"),
+              call_function("graft_bm_encode_langs", col("token"),
+                lit(nt), lit(rt), lit(cc), lit(mp), lit(langs)).as("code"))
+        }
+        .reduce(_.union(_))
+    }),
+    "q_bm_guess_lang" -> ((s, _) => {
+      reg(s)
+      tokensDf(s, Goldens.bmGuessLang.map(_._1))
         .select(col("token"),
-          explode(graftBmCodes(col("token"))).as("code"))
+          call_function("graft_bm_guess_lang", col("token")).as("langs"))
     }),
-    "q_mra_match_pairs" -> ((s, dir) => {
+    // ---- comparators: reference golden pairs, VALUES oracles ----
+    "q_mra_match_pairs" -> ((s, _) => {
       reg(s)
-      val tok = partTokens(s, dir)
-      val a = tok.select(col("token").as("token_a"),
-        graftSoundex(col("token")).as("blk"))
-      val b = tok.select(col("token").as("token_b"),
-        graftSoundex(col("token")).as("blk"))
-      a.join(b, "blk")
-        .where(col("token_a") < col("token_b"))
+      pairsDf(s, Goldens.mraPairs.map(r => (r._1, r._2)))
         .select(col("token_a"), col("token_b"),
-          graftMraMatch(col("token_a"), col("token_b")).as("mra_match"),
-          graftMraRating(col("token_a"), col("token_b")).as("mra_rating"))
+          graftMraMatch(col("token_a"), col("token_b")).as("mra_match"))
     }),
-    "q_soundex_difference" -> ((s, dir) => {
+    "q_soundex_difference" -> ((s, _) => {
       reg(s)
-      val tok = partTokens(s, dir).limit(200)
-      tok.crossJoin(tok.select(col("token").as("token_b")))
-        .where(col("token") < col("token_b"))
-        .select(col("token"), col("token_b"),
-          graftSoundexDifference(col("token"), col("token_b")).as("diff"))
-    }),
-    "q_jaro_winkler" -> ((s, dir) => {
-      reg(s)
-      val tok = partTokens(s, dir)
-      val a = tok.select(col("token").as("token_a"),
-        graftMetaphone(col("token")).as("blk"))
-      val b = tok.select(col("token").as("token_b"),
-        graftMetaphone(col("token")).as("blk"))
-      a.join(b, "blk")
-        .where(col("token_a") < col("token_b"))
+      pairsDf(s, Goldens.soundexDifference.map(r => (r._1, r._2)))
         .select(col("token_a"), col("token_b"),
-          round(graftJaroWinkler(col("token_a"), col("token_b")), 6)
-            .as("jw"))
+          graftSoundexDifference(col("token_a"), col("token_b")).as("diff"))
+    }),
+    "q_refined_soundex_difference" -> ((s, _) => {
+      reg(s)
+      pairsDf(s, Goldens.refinedSoundexDifference.map(r => (r._1, r._2)))
+        .select(col("token_a"), col("token_b"),
+          call_function("graft_refined_soundex_difference",
+            col("token_a"), col("token_b")).as("diff"))
+    }),
+    "q_jaro_winkler" -> ((s, _) => {
+      reg(s)
+      pairsDf(s, Goldens.jaroWinklerPairs)
+        .select(col("token_a"), col("token_b"),
+          round(graftJaroWinkler(col("token_a"), col("token_b")), 6).as("jw"))
     }),
     // ---- dedup / similarity (Spark-only semantics; rows-only) ----
     "q_minhash_dedup" -> ((s, dir) => {
@@ -247,10 +292,11 @@ object SparkEntry {
     }),
     "q_embedding_dedup" -> ((s, dir) => {
       // testdata embeddings are near-random (max pairwise cosine ~0.48);
-      // 0.3 exercises the LSH-bucket + exact-verify path with real output
+      // 0.3 exercises the banded-LSH + exact-verify path with real output.
+      // 8 bands x 2^6 sigs = 512 effective buckets.
       Dedup.embeddingNearDups(
         t(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, nPlanes = 4, minCosine = 0.3)
+        dim = 64, nPlanes = 6, bands = 8, minCosine = 0.3)
     }),
     "q_langid" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -286,8 +332,10 @@ object SparkEntry {
     })
   )
 
-  /** DuckDB-equivalent SQL for the hash-compared queries. Omitted for
-    * operators DuckDB cannot express (phonetics, minhash, pipeline).
+  /** DuckDB-equivalent SQL for the hash-compared queries. Phonetic
+    * operators use VALUES-literal tables of the reference's expected
+    * codes (generated from [[graft.goldens.Goldens]], the same data the
+    * queries encode). Omitted only for ops DuckDB cannot express.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -325,6 +373,66 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // ---- golden-vector oracles (reference-expected codes as VALUES) ----
+    "q_soundex" ->
+      Goldens.valuesSql(Seq("token", "code"), Goldens.soundex),
+    "q_soundex_variants" ->
+      Goldens.valuesSql(Seq("variant", "token", "code"),
+        Goldens.soundexVariants),
+    "q_refined_soundex" ->
+      Goldens.valuesSql(Seq("token", "code"), Goldens.refinedSoundex),
+    "q_cologne" ->
+      Goldens.valuesSql(Seq("token", "code"), Goldens.cologne),
+    "q_caverphone1" ->
+      Goldens.valuesSql(Seq("token", "code"), Goldens.caverphone1),
+    "q_caverphone2" ->
+      Goldens.valuesSql(Seq("token", "code"), Goldens.caverphone2),
+    "q_metaphone" ->
+      Goldens.valuesSql(Seq("variant", "token", "code"), Goldens.metaphone),
+    "q_double_metaphone" ->
+      Goldens.valuesSql(Seq("token", "code_primary", "code_alternate"),
+        Goldens.doubleMetaphone),
+    "q_double_metaphone_equal" ->
+      Goldens.valuesSql(Seq("token_a", "token_b", "alternate", "dm_equal"),
+        Goldens.dmEqual.filter(!_._3) ++ Goldens.dmEqual.filter(_._3)),
+    "q_nysiis" ->
+      Goldens.valuesSql(Seq("variant", "token", "code"), Goldens.nysiis),
+    "q_phonex" ->
+      Goldens.valuesSql(Seq("token", "code"), Goldens.phonex),
+    "q_mra_encode" ->
+      Goldens.valuesSql(Seq("token", "code"), Goldens.mraEncode),
+    "q_dm_soundex" ->
+      Goldens.valuesSql(Seq("token", "code"), Goldens.dmSoundex),
+    "q_dm_encode" ->
+      Goldens.valuesSql(Seq("token", "code"), Goldens.dmEncode),
+    "q_beider_morse" ->
+      Goldens.valuesSql(
+        Seq("name_type", "rule_type", "concat_words", "max_phonemes", "token",
+          "code"),
+        Goldens.beiderMorse),
+    "q_bm_lang_restricted" ->
+      Goldens.valuesSql(
+        Seq("name_type", "rule_type", "concat_words", "max_phonemes", "languages",
+          "token", "code"),
+        Goldens.bmLangRestricted),
+    "q_bm_guess_lang" ->
+      Goldens.valuesSql(Seq("token", "langs"), Goldens.bmGuessLang),
+    "q_mra_match_pairs" ->
+      Goldens.valuesSql(Seq("token_a", "token_b", "mra_match"),
+        Goldens.mraPairs),
+    "q_soundex_difference" ->
+      Goldens.valuesSql(Seq("token_a", "token_b", "diff"),
+        Goldens.soundexDifference),
+    "q_refined_soundex_difference" ->
+      Goldens.valuesSql(Seq("token_a", "token_b", "diff"),
+        Goldens.refinedSoundexDifference),
+    // JW oracle recomputes with DuckDB's own jaro_winkler_similarity —
+    // engine-independent agreement on the standard definition
+    "q_jaro_winkler" ->
+      ("SELECT token_a, token_b, " +
+        "round(jaro_winkler_similarity(token_a, token_b), 6) AS jw FROM " +
+        Goldens.valuesTable(Seq("token_a", "token_b"),
+          Goldens.jaroWinklerPairs))
   )
 }

@@ -13,13 +13,29 @@ import org.apache.spark.sql.functions.call_function
   */
 object GraftFunctions {
 
-  private def intLit(e: Expression): Int =
-    e.eval().asInstanceOf[Number].intValue()
+  /** Option arguments are folded at registration time — they must be
+    * non-null foldable literals; anything else fails analysis with a clear
+    * message instead of silently evaluating against no input row.
+    */
+  private def lit(e: Expression, param: String): Any = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"option argument '$param' must be a literal, got: ${e.sql}")
+    val v = e.eval()
+    if (v == null)
+      throw new IllegalArgumentException(
+        s"option argument '$param' must not be NULL")
+    v
+  }
 
-  private def boolLit(e: Expression): Boolean =
-    e.eval().asInstanceOf[Boolean]
+  private def intLit(e: Expression, param: String = "maxLen"): Int =
+    lit(e, param).asInstanceOf[Number].intValue()
 
-  private def strLit(e: Expression): String = e.eval().toString
+  private def boolLit(e: Expression, param: String = "flag"): Boolean =
+    lit(e, param).asInstanceOf[Boolean]
+
+  private def strLit(e: Expression, param: String = "option"): String =
+    lit(e, param).toString
 
   /** (name, builder, usage) for every function. */
   val builders: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
@@ -27,6 +43,11 @@ object GraftFunctions {
       "graft_soundex(str) - American Soundex (commons-codec semantics incl. H/W rule)"),
     ("graft_soundex_genealogy", args => SoundexGenealogyExpr(args.head),
       "graft_soundex_genealogy(str) - Soundex with the genealogy.com mapping"),
+    ("graft_soundex_simplified", args => SoundexSimplifiedExpr(args.head),
+      "graft_soundex_simplified(str) - Soundex without the H/W special case"),
+    ("graft_soundex_mapping",
+      args => SoundexMappingExpr(args(0), strLit(args(1), "mapping")),
+      "graft_soundex_mapping(str, mapping) - Soundex with a custom 26-char mapping literal"),
     ("graft_refined_soundex", args => RefinedSoundexExpr(args.head),
       "graft_refined_soundex(str) - Refined Soundex"),
     ("graft_metaphone", {
@@ -63,6 +84,24 @@ object GraftFunctions {
       "graft_mra_match(a, b) - MRA similarity-rating match decision"),
     ("graft_mra_rating", args => MraRatingExpr(args(0), args(1)),
       "graft_mra_rating(a, b) - MRA rating (6 best, -1 guard failure)"),
+    ("graft_double_metaphone_equal", {
+      case Seq(a, b) => DoubleMetaphoneEqualExpr(a, b, alternate = false)
+      case Seq(a, b, alt) =>
+        DoubleMetaphoneEqualExpr(a, b, boolLit(alt, "alternate"))
+    }, "graft_double_metaphone_equal(a, b[, alternate]) - compare primary " +
+      "(or alternate) double-metaphone codes"),
+    ("graft_bm_guess_lang", {
+      case Seq(c) => BmGuessLangExpr(c, "gen")
+      case Seq(c, nt) => BmGuessLangExpr(c, strLit(nt, "nameType"))
+    }, "graft_bm_guess_lang(str[, nameType]) - Beider-Morse guessed " +
+      "languages, sorted and '|'-joined ('any' when unrestricted)"),
+    ("graft_bm_encode_langs", {
+      case Seq(c, nt, rt, cc, mp, langs) =>
+        BmEncodeWithLangsExpr(c, strLit(nt, "nameType"),
+          strLit(rt, "ruleType"), boolLit(cc, "concat"),
+          intLit(mp, "maxPhonemes"), strLit(langs, "languagesCsv"))
+    }, "graft_bm_encode_langs(str, nameType, ruleType, concat, maxPhonemes, " +
+      "languagesCsv) - Beider-Morse encode restricted to a language set"),
     ("graft_dm_soundex", args => DmSoundexExpr(args.head),
       "graft_dm_soundex(str) - Daitch-Mokotoff branching codes as array"),
     ("graft_dm_encode", args => DmEncodeExpr(args.head),
@@ -106,11 +145,29 @@ object GraftFunctions {
     }, "graft_minhash_signature(text[, numHashes[, k]]) - MinHash signature of word k-shingles")
   )
 
-  /** Idempotent per-session registration. */
+  /** Wraps a builder so a wrong argument count raises a clear arity error
+    * instead of a bare MatchError.
+    */
+  private[functions] def checkedBuilder(name: String,
+      builder: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args =>
+      try builder(args)
+      catch {
+        case _: MatchError =>
+          throw new IllegalArgumentException(
+            s"$name: invalid number of arguments (${args.length})")
+      }
+
+  /** Idempotent per-session registration: already-registered functions are
+    * left untouched (no "replaced a previously registered function" log
+    * spam on repeat calls).
+    */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     builders.foreach { case (name, builder, _) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(
+          name, checkedBuilder(name, builder), "built-in")
     }
   }
 
@@ -151,7 +208,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction(
         (FunctionIdentifier(name),
           new ExpressionInfo("graft.functions.GraftFunctions", name, usage),
-          builder))
+          GraftFunctions.checkedBuilder(name, builder)))
     }
   }
 }

@@ -19,6 +19,27 @@ object PhoneticFunctions {
   def soundexGenealogy(u: UTF8String): UTF8String =
     out(Soundex.genealogy.encode(u.toString))
 
+  def soundexSimplified(u: UTF8String): UTF8String =
+    out(Soundex.simplified.encode(u.toString))
+
+  /** Custom-mapping Soundex (ref: /root/reference/src/soundex.rs:117-125);
+    * encoder instances are cached per mapping string (the mapping is a
+    * plan-time literal, so one entry per distinct mapping in the plan).
+    */
+  private val customSoundex =
+    new java.util.concurrent.ConcurrentHashMap[String, Soundex]()
+
+  def soundexMapping(u: UTF8String, mapping: UTF8String): UTF8String = {
+    val enc = customSoundex.computeIfAbsent(mapping.toString, Soundex.fromMapping)
+    out(enc.encode(u.toString))
+  }
+
+  /** ref: /root/reference/src/double_metaphone.rs:208-216 */
+  def doubleMetaphoneEqual(a: UTF8String, b: UTF8String,
+      alternate: Boolean): Boolean =
+    DoubleMetaphone.default.isDoubleMetaphoneEqual(a.toString, b.toString,
+      alternate)
+
   def refinedSoundex(u: UTF8String): UTF8String =
     out(RefinedSoundex.default.encode(u.toString))
 
@@ -125,5 +146,31 @@ object PhoneticFunctions {
       .encode(u.toString)
     new GenericArrayData(
       bm.BeiderMorse.splitCodes(raw).map(c => out(c): Any))
+  }
+
+  /** Language guessing as a queryable column
+    * (ref: /root/reference/src/beider_morse/lang.rs:44-64).
+    */
+  def bmGuessLang(u: UTF8String, nameType: UTF8String): UTF8String =
+    out(bm.BeiderMorse.guessLanguages(u.toString,
+      bm.NameType.parse(nameType.toString)))
+
+  /** Language-set cache for `encode_with_languages`; the csv is a
+    * plan-time literal so there is one entry per distinct restriction.
+    */
+  private val bmLangSets =
+    new java.util.concurrent.ConcurrentHashMap[String, bm.LanguageSet]()
+
+  /** `encode_with_languages`
+    * (ref: /root/reference/src/beider_morse/mod.rs:275-277).
+    */
+  def bmEncodeWithLangs(u: UTF8String, nameType: UTF8String,
+      ruleType: UTF8String, concat: Boolean, maxPhonemes: Int,
+      languagesCsv: UTF8String): UTF8String = {
+    val langs = bmLangSets.computeIfAbsent(languagesCsv.toString, csv =>
+      bm.LanguageSet.of(
+        csv.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq))
+    out(bmEngine(nameType.toString, ruleType.toString, concat, maxPhonemes)
+      .encodeWithLanguages(u.toString, langs))
   }
 }

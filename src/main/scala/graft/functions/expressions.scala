@@ -49,6 +49,35 @@ case class SoundexGenealogyExpr(child: Expression) extends StringUnaryPhonetic {
   override def prettyName: String = "graft_soundex_genealogy"
 }
 
+case class SoundexSimplifiedExpr(child: Expression) extends StringUnaryPhonetic {
+  override def method: String = "soundexSimplified"
+  override protected def evalString(input: Any): Any =
+    PhoneticFunctions.soundexSimplified(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_soundex_simplified"
+}
+
+/** Soundex with an arbitrary 26-char mapping folded in at plan time
+  * (ref: /root/reference/src/soundex.rs:117-125).
+  */
+case class SoundexMappingExpr(child: Expression, mapping: String)
+    extends StringUnaryPhonetic {
+  override def method: String = "soundexMapping"
+  private val mappingU8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(mapping)
+  override protected def evalString(input: Any): Any =
+    PhoneticFunctions.soundexMapping(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], mappingU8)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("soundexMapping", mappingU8)
+    defineCodeGen(ctx, ev, c => s"${Gen.F}.soundexMapping($c, $m)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_soundex_mapping"
+}
+
 case class RefinedSoundexExpr(child: Expression) extends StringUnaryPhonetic {
   override def method: String = "refinedSoundex"
   override protected def evalString(input: Any): Any =
@@ -323,6 +352,72 @@ case class MraRatingExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_mra_rating"
+}
+
+/** `is_double_metaphone_equal(a, b, alternate)` with the alternate flag
+  * folded at plan time (ref: /root/reference/src/double_metaphone.rs:208-216).
+  */
+case class DoubleMetaphoneEqualExpr(left: Expression, right: Expression,
+    alternate: Boolean) extends StringBinaryPhonetic {
+  override def method: String = "doubleMetaphoneEqual"
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PhoneticFunctions.doubleMetaphoneEqual(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], alternate)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"${Gen.F}.doubleMetaphoneEqual($a, $b, $alternate)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_double_metaphone_equal"
+}
+
+/** Beider-Morse language guess as a sorted '|'-joined column
+  * (ref: /root/reference/src/beider_morse/lang.rs:44-64).
+  */
+case class BmGuessLangExpr(child: Expression, nameType: String)
+    extends StringUnaryPhonetic {
+  override def method: String = "bmGuessLang"
+  private val ntU8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(nameType)
+  override protected def evalString(input: Any): Any =
+    PhoneticFunctions.bmGuessLang(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], ntU8)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nt = ctx.addReferenceObj("bmNameType", ntU8)
+    defineCodeGen(ctx, ev, c => s"${Gen.F}.bmGuessLang($c, $nt)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bm_guess_lang"
+}
+
+/** Beider-Morse `encode_with_languages` — the language restriction (a csv
+  * literal) and options folded at plan time
+  * (ref: /root/reference/src/beider_morse/mod.rs:275-277).
+  */
+case class BmEncodeWithLangsExpr(child: Expression, nameType: String,
+    ruleType: String, concat: Boolean, maxPhonemes: Int, languagesCsv: String)
+    extends StringUnaryPhonetic {
+  override def method: String = "bmEncodeWithLangs"
+  private def u8(s: String) =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+  override protected def evalString(input: Any): Any =
+    PhoneticFunctions.bmEncodeWithLangs(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      u8(nameType), u8(ruleType), concat, maxPhonemes, u8(languagesCsv))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nt = ctx.addReferenceObj("bmNameType", u8(nameType))
+    val rt = ctx.addReferenceObj("bmRuleType", u8(ruleType))
+    val ls = ctx.addReferenceObj("bmLangs", u8(languagesCsv))
+    defineCodeGen(ctx, ev, c =>
+      s"${Gen.F}.bmEncodeWithLangs($c, $nt, $rt, $concat, $maxPhonemes, $ls)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bm_encode_langs"
 }
 
 /** SoundexCommons::difference (ref: /root/reference/src/lib.rs:294-310). */

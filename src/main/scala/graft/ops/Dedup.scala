@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -17,12 +16,15 @@ object Dedup {
     * as canonical. Output: (id, canonical_id, group_size).
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val key = TextAnalysis.fingerprintCol(col(textCol))
-    val w = Window.partitionBy("fp")
-    df.select(col(idCol).as("id"), key.as("fp"))
-      .withColumn("canonical_id", min("id").over(w))
-      .withColumn("group_size", count(lit(1)).over(w))
-      .drop("fp")
+    // groupBy + join instead of count/min over Window.partitionBy("fp"):
+    // the window would funnel every row of a hot fingerprint (e.g. the
+    // empty document) through one task; the aggregate gets map-side
+    // partial aggregation and the join is AQE-skew-splittable.
+    val keyed = df.select(col(idCol).as("id"),
+      TextAnalysis.fingerprintCol(col(textCol)).as("fp"))
+    val groups = keyed.groupBy("fp")
+      .agg(min("id").as("canonical_id"), count(lit(1)).as("group_size"))
+    keyed.join(groups, "fp").select("id", "canonical_id", "group_size")
   }
 
   /** Word k-shingles of a text column as array<string>. */
@@ -74,11 +76,14 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
-    val capped = banded
-      .withColumn("bucket_size",
-        count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .where(col("bucket_size") <= maxBucketSize)
-      .drop("bucket_size")
+    // oversized-bucket cap via groupBy + broadcast anti-join (a window
+    // over (band, bucket) would single-task each hot bucket to count it)
+    val oversized = banded
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > maxBucketSize)
+      .select("band", "bucket")
+    val capped = banded.join(broadcast(oversized),
+      Seq("band", "bucket"), "left_anti")
 
     val left = capped.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))
@@ -141,33 +146,43 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** Embedding-cosine near-duplicate pairs: bucket vectors by
-    * random-hyperplane LSH signature ([[SimilaritySearch.lshSignature]]),
-    * self-join within buckets (capped for skew), verify with exact cosine.
-    * Candidate count ~ sum of bucket^2, never O(n^2); recall trades off
-    * via nPlanes.
+  /** Embedding-cosine near-duplicate pairs: banded random-hyperplane LSH
+    * (like the MinHash path) — `bands` independent signatures of `nPlanes`
+    * sign bits each, candidates = pairs sharing at least one (band,
+    * signature) bucket, verified with exact cosine. Banding decouples
+    * recall (more bands) from bucket size (more planes): effective bucket
+    * count is bands x 2^nPlanes, and a pair's miss probability is
+    * (1 - p^nPlanes)^bands for per-plane agreement p. Bucket sizes are
+    * capped via groupBy + broadcast anti-join (no per-key window), so a
+    * hot bucket dies before the self-join.
     */
   def embeddingNearDups(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       dim: Int,
-      nPlanes: Int = 12,
+      nPlanes: Int = 8,
+      bands: Int = 8,
       minCosine: Double = 0.9,
       maxBucketSize: Int = 1000): DataFrame = {
-    val sigs = df.select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
-      SimilaritySearch.lshSignature(col(vecCol), dim, nPlanes).as("sig"))
-    val capped = sigs
-      .withColumn("bucket_size",
-        count(lit(1)).over(Window.partitionBy("sig")))
-      .where(col("bucket_size") <= maxBucketSize)
-      .drop("bucket_size")
-    val a = capped.select(col("sig"), col("id").as("id_a"),
+    val vec = col(vecCol)
+    val banded = df.select(
+      col(idCol).as("id"), vec.as("vec"),
+      posexplode(array((0 until bands).map(b =>
+        SimilaritySearch.lshSignature(vec, dim, nPlanes, seed = b)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "sig")
+    val oversized = banded
+      .groupBy("band", "sig").agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > maxBucketSize)
+      .select("band", "sig")
+    val capped = banded.join(broadcast(oversized),
+      Seq("band", "sig"), "left_anti")
+    val a = capped.select(col("band"), col("sig"), col("id").as("id_a"),
       col("vec").as("vec_a"))
-    val b = capped.select(col("sig"), col("id").as("id_b"),
+    val b = capped.select(col("band"), col("sig"), col("id").as("id_b"),
       col("vec").as("vec_b"))
-    a.join(b, "sig")
+    a.join(b, Seq("band", "sig"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cos_sim",
         round(SimilaritySearch.cosine(col("vec_a"), col("vec_b")), 6))

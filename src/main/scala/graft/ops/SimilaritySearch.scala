@@ -64,14 +64,15 @@ object SimilaritySearch {
     * derived from (plane, dimension) via xxhash64 — no external state, so
     * executors agree without a broadcast.
     */
-  def lshSignature(vec: Column, dim: Int, nPlanes: Int = 16): Column = {
+  def lshSignature(vec: Column, dim: Int, nPlanes: Int = 16,
+      seed: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
       // deterministic pseudo-random +/-1 hyperplane via hash parity
       val proj = aggregate(
         zip_with(
           vec,
           transform(sequence(lit(0), lit(dim - 1)),
-            d => when(xxhash64(lit(p), d).bitwiseAND(1) === 1, 1.0)
+            d => when(xxhash64(lit(p), d, lit(seed)).bitwiseAND(1) === 1, 1.0)
               .otherwise(-1.0)),
           (x, h) => x.cast("double") * h),
         lit(0.0), (acc, x) => acc + x)

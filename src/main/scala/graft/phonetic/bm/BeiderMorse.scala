@@ -927,4 +927,15 @@ object BeiderMorse {
     */
   def splitCodes(encoded: String): Array[String] =
     CodeSeparators.split(encoded).filter(_.nonEmpty)
+
+  /** Guessed languages of a name, sorted and '|'-joined; "any" when no
+    * rule narrows the set, "" when rules contradict
+    * (ref: /root/reference/src/beider_morse/lang.rs:44-64).
+    */
+  def guessLanguages(input: String, nameType: NameType): String =
+    BmConfig.default.langs(nameType).guessLanguages(input) match {
+      case LanguageSet.AnyLanguage => "any"
+      case LanguageSet.NoLanguages => ""
+      case LanguageSet.SomeLanguages(s) => s.mkString("|")
+    }
 }

@@ -95,11 +95,17 @@ object Blocking {
       keys: DataFrame,
       maxBlockSize: Int = 10000,
       window: Int = 3): DataFrame = {
-    val sized = keys
-      .withColumn("block_size",
-        count(lit(1)).over(Window.partitionBy("key")))
-      .where(col("block_size") <= maxBlockSize)
-      .drop("block_size")
+    // Block-size cap WITHOUT a per-key window: a count(*) over
+    // Window.partitionBy(key) would funnel every row of a degenerate block
+    // through one task before it can be discarded. groupBy gets map-side
+    // partial aggregation, the oversized-key list is tiny by construction
+    // (each key is > maxBlockSize rows), so it broadcasts into an anti-join
+    // and hot keys die before any shuffle-by-key of the full data.
+    val oversized = keys
+      .groupBy("key").agg(count(lit(1)).as("block_size"))
+      .where(col("block_size") > maxBlockSize)
+      .select("key")
+    val sized = keys.join(broadcast(oversized), Seq("key"), "left_anti")
 
     val w = Window.partitionBy("key").orderBy("file_id", "token")
     val rec = struct(col("file_id"), col("token"))

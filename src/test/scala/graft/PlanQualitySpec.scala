@@ -70,4 +70,46 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan(graft.pipeline.Blocking.blockingKeys(tokens))
     assert(!p.contains("Exchange"), p)
   }
+
+  test("block-size cap uses aggregate + broadcast anti-join, not a per-key window") {
+    import spark.implicits._
+    val keys = Seq((1L, "a", "sx:X100"), (2L, "b", "sx:X100"))
+      .toDF("file_id", "token", "key")
+    val df = graft.pipeline.Blocking.candidatePairs(keys)
+    val p = plan(df)
+    // exactly one Window (the sorted-neighborhood lead()) — the size cap
+    // must NOT add a count-over-partitionBy(key) window that single-tasks
+    // each hot block
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"expected 1 window (sorted-neighborhood), got $windows\n$p")
+    assert(p.contains("LeftAnti") && p.contains("Broadcast"), p)
+  }
+
+  test("degenerate hot block is dropped; normal pairs survive") {
+    import spark.implicits._
+    val hot = (0 until 300).map(i => (1000L + i, s"tok$i", "cv:111111"))
+    val normal = Seq((1L, "smith", "sx:S530"), (2L, "smyth", "sx:S530"))
+    val keys = (hot ++ normal).toDF("file_id", "token", "key")
+    val pairs = graft.pipeline.Blocking
+      .candidatePairs(keys, maxBlockSize = 100)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+  }
+
+  test("dedup ops have no per-key windows (skew-safe shapes)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val pExact = plan(graft.ops.Dedup.exact(docs, "doc_id", "text"))
+    assert(!pExact.contains("Window ["), pExact)
+    val pMinhash = plan(graft.ops.Dedup.minhashCandidates(
+      docs, "doc_id", "text", numHashes = 16, bands = 4))
+    assert(!pMinhash.contains("Window ["),
+      pMinhash)
+    val vecs = Seq((1L, Seq(1.0f, 0.5f)), (2L, Seq(0.9f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val pEmb = plan(graft.ops.Dedup.embeddingNearDups(
+      vecs, "vec_id", "embedding", dim = 2, nPlanes = 2, bands = 2))
+    assert(!pEmb.contains("Window ["), pEmb)
+  }
 }

@@ -63,6 +63,41 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("banded embedding LSH recall vs brute-force ground truth") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 32
+    // 20 base vectors, each with a noisy near-copy (cos > 0.99), plus
+    // 40 unrelated vectors
+    val rows = (0 until 20).flatMap { c =>
+      val base = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      val noisy = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+      Seq((c * 2L, base.toSeq), (c * 2L + 1, noisy.toSeq))
+    } ++ (100L until 140L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+
+    // ground truth: exact all-pairs cosine >= 0.98
+    val a = df.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = df.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val truth = a.crossJoin(b)
+      .where($"id_a" < $"id_b")
+      .where(SimilaritySearch.cosine($"va", $"vb") >= 0.98)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 20)
+
+    val found = Dedup.embeddingNearDups(df, "vec_id", "embedding", dim,
+      nPlanes = 6, bands = 8, minCosine = 0.98)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no false positives (exact verify) ...
+    assert(found.subsetOf(truth))
+    // ... and banded LSH recall is high at near-dup similarity
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall (${found.size}/${truth.size})")
+  }
+
   test("simhash hamming distance small for near-dups") {
     import spark.implicits._
     val base = "spark is a unified analytics engine for large scale data"
