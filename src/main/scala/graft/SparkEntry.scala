@@ -49,6 +49,173 @@ object SparkEntry {
       .select(col("token"), call_function(fn, col("token")).as("code"))
   }
 
+  /** DuckDB language-ID oracle generated from the SAME stopword table the
+    * Spark heuristic uses ([[TextAnalysis.StopwordSignatures]]) so the two
+    * cannot drift. Tie-break mirrors Spark's `greatest` over (hits, lang)
+    * structs: maximum hits, then lexicographically greatest language.
+    */
+  private def langIdOracleSql: String = {
+    val sigs = TextAnalysis.StopwordSignatures.toSeq.sortBy(_._1)
+    val scoreCols = sigs.map { case (lang, words) =>
+      words.map(w => s"(len(string_split(p, ${Goldens.sqlStr(w)}))-1)")
+        .mkString(" + ") + s" AS $lang"
+    }
+    val langs = sigs.map(_._1)
+    val g = s"greatest(${langs.mkString(",")})"
+    val cases = langs.sorted.reverse.dropRight(1)
+      .map(l => s"WHEN $l = $g THEN '$l'").mkString(" ")
+    val fallback = langs.sorted.head
+    s"""WITH padded AS (SELECT ' ' || lower(text) || ' ' AS p FROM documents),
+       |scores AS (SELECT ${scoreCols.mkString(",\n  ")} FROM padded)
+       |SELECT lang_guess, count(*) AS cnt FROM (
+       |  SELECT CASE WHEN $g <= 0 THEN 'und' $cases
+       |    ELSE '$fallback' END AS lang_guess
+       |  FROM scores) GROUP BY 1""".stripMargin
+  }
+
+  /** DuckDB MinHash oracle: recomputes the portable md5-based spec of
+    * [[graft.functions.MinHashFunctions]] (same tokens, shingles, base
+    * hash and (a,b) coefficients) over all pairs, then applies the same
+    * band test and est-Jaccard threshold as `q_minhash_dedup`. Parameters
+    * must match the query (numHashes=32, bands=8, k=3, threshold 0.5).
+    */
+  private def minhashOracleSql: String = {
+    import graft.functions.MinHashFunctions.{coeffA, coeffB, M61}
+    val numHashes = 32; val bands = 8; val rows = numHashes / bands
+    val sigTerms = (0 until numHashes).map(i =>
+      s"list_min(list_transform(hv, h -> ((${coeffA(i)}::HUGEINT * h + " +
+        s"${coeffB(i)}) % $M61)::BIGINT))")
+      .mkString("[\n  ", ",\n  ", "\n  ]")
+    val bandChecks = (0 until bands).map(b =>
+      s"(sa[${b * rows + 1}:${b * rows + rows}] = " +
+        s"sb[${b * rows + 1}:${b * rows + rows}])").mkString(" OR ")
+    val agree = s"len(list_filter(range(1, ${numHashes + 1}), " +
+      s"i -> sa[i] = sb[i]))::DOUBLE / $numHashes"
+    s"""WITH docs AS (SELECT doc_id,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+       |  FROM documents),
+       |sh AS (SELECT doc_id,
+       |    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+       |    ELSE list_transform(range(0, len(words)-2),
+       |      i -> array_to_string(words[i+1:i+3], ' ')) END AS shingles
+       |  FROM docs),
+       |hs AS (SELECT doc_id, list_transform(shingles,
+       |    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT) AS hv FROM sh),
+       |sig AS (SELECT doc_id, $sigTerms AS sg FROM hs),
+       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sg AS sa, b.sg AS sb
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, round($agree, 6) AS est_jaccard
+       |FROM cand WHERE ($bandChecks) AND round($agree, 6) >= 0.5""".stripMargin
+  }
+
+  /** DuckDB SimHash oracle: same md5-60-bit token-hash spec and per-bit
+    * majority vote as [[Dedup.simhash]].
+    */
+  private def simhashOracleSql: String = {
+    val n = Dedup.SimhashBits
+    val votes = (0 until n).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n  ")
+    val assemble = (0 until n).map(b =>
+      s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |  FROM documents),
+       |hs AS (SELECT doc_id,
+       |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+       |votes AS (SELECT doc_id, $votes FROM hs GROUP BY doc_id)
+       |SELECT doc_id AS id, ($assemble)::BIGINT AS simhash FROM votes""".stripMargin
+  }
+
+  /** SQL expression for [[SimilaritySearch.lshSignature]] over `vecExpr`:
+    * the plane matrix is embedded as the SAME literals the Spark plan
+    * folds in, and the projection is the same sequential left fold.
+    */
+  private def lshSigSql(vecExpr: String, dim: Int, nPlanes: Int,
+      seed: Int): String =
+    (0 until nPlanes).map { p =>
+      val proj = (0 until dim).map(d =>
+        s"$vecExpr[${d + 1}]::DOUBLE * " +
+          s"${SimilaritySearch.planeSign(seed, p, d)}").mkString("0.0 + ", " + ", "")
+      s"(CASE WHEN ($proj) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB ANN-LSH oracle: same plane literals, bucket join, cosine and
+    * ranking as `q_ann_lsh` (dim=64, nPlanes=8, k=10, queries vec_id<5).
+    */
+  private def annLshOracleSql: String = {
+    val sig = lshSigSql("embedding", dim = 64, nPlanes = 8, seed = 0)
+    s"""WITH v AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec, sig FROM v
+       |  WHERE vec_id < 5),
+       |scored AS (SELECT query_id, v.vec_id,
+       |    round(list_cosine_similarity(v.embedding::DOUBLE[],
+       |      qvec::DOUBLE[]), 6) AS cos_sim
+       |  FROM v JOIN q USING (sig) WHERE v.vec_id <> query_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 10""".stripMargin
+  }
+
+  /** DuckDB banded-embedding-LSH oracle: same per-band plane literals,
+    * bucket join, exact-cosine verify and threshold as
+    * `q_embedding_dedup` (dim=64, nPlanes=6, bands=8, minCosine=0.3).
+    */
+  private def embeddingDedupOracleSql: String = {
+    val bands = 8
+    val sigCols = (0 until bands).map(b =>
+      s"${lshSigSql("embedding", dim = 64, nPlanes = 6, seed = b)} AS s$b")
+      .mkString(",\n  ")
+    val bandSelects = (0 until bands).map(b =>
+      s"SELECT vec_id, embedding, $b AS band, s$b AS sig FROM sigs")
+      .mkString("\nUNION ALL\n")
+    s"""WITH sigs AS (SELECT vec_id, embedding, $sigCols FROM embeddings),
+       |banded AS ($bandSelects),
+       |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+       |      b.embedding::DOUBLE[]), 6) AS cos_sim
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3""".stripMargin
+  }
+
+  /** Ground-truth oracle for `q_linkage_clusters`: the generator assigns
+    * file i to entity family i mod F, so a PERFECT clustering has exactly
+    * one cluster per family with cluster_id = min file_id = family index.
+    * This is the strongest check a clustering can get — the driver row
+    * only hash-matches if the pipeline resolves every entity exactly.
+    */
+  private def linkageOracleSql: String = {
+    val nFiles = 1000L
+    val f = graft.pipeline.NameFixtures.families.length
+    val rows = (0 until f).map { fam =>
+      (fam.toLong, (nFiles - fam + f - 1) / f, 1L)
+    }
+    Goldens.valuesSql(Seq("cluster_id", "cluster_size", "n_families"), rows)
+  }
+
+  /** Determinism-pin oracle for `q_multimodal_features`: the decode step
+    * is a documented stub (no media libraries in this container), so the
+    * expected values are recomputed driver-side from the SAME pure
+    * functions ([[Multimodal.syntheticRow]]/[[Multimodal.decodeStub]]) —
+    * pinning that the distributed mapPartitions path reproduces the
+    * scalar path row-for-row.
+    */
+  private def multimodalOracleSql: String = {
+    val rows = (0L until 500L).map { i =>
+      val (id, kind, _, _, _, _, payload) = Multimodal.syntheticRow(i, 42L)
+      val sum = Multimodal.decodeStub(payload, 16)
+        .foldLeft(0.0)((acc, x) => acc + x)
+      val rounded = BigDecimal(sum)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, kind, rounded)
+    }
+    Goldens.valuesSql(Seq("media_id", "kind", "feature_sum"), rows)
+  }
+
   /** Flagship: the record-linkage pipeline end-to-end on a synthesized
     * repo-file table (north rule shape); driver smoke-checks rows>0.
     */
@@ -427,6 +594,58 @@ object SparkEntry {
     "q_refined_soundex_difference" ->
       Goldens.valuesSql(Seq("token_a", "token_b", "diff"),
         Goldens.refinedSoundexDifference),
+    // ---- training-data ops recomputed independently by DuckDB ----
+    "q_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(length(text[1:200])-1, 2)),
+        |      i -> text[1:200][i:i+2])) AS grams
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CASE
+        |    WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0
+        |      THEN 0.0
+        |    ELSE len(list_intersect(a.grams, b.grams))::DOUBLE
+        |         / len(list_distinct(list_concat(a.grams, b.grams)))
+        |    END, 6) AS jaccard
+        |FROM g a JOIN g b ON a.lang = b.lang
+        |  AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 5""".stripMargin,
+    "q_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |    round(list_cosine_similarity(embedding::DOUBLE[], qvec), 6)
+        |      AS cos_sim
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id),
+        |ranked AS (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, cos_sim, rank FROM ranked
+        |WHERE rank <= 10""".stripMargin,
+    "q_quality" ->
+      """WITH f AS (SELECT doc_id,
+        |  length(text)::DOUBLE AS n_chars,
+        |  len(regexp_split_to_array(text, '\s+'))::DOUBLE AS n_tokens,
+        |  round(length(regexp_replace(text, '[^!?.,;:]', '', 'g'))::DOUBLE
+        |    / greatest(length(text)::DOUBLE, 1.0), 6) AS punct_ratio,
+        |  round(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
+        |    / greatest(length(text)::DOUBLE, 1.0), 6) AS upper_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_tokens, punct_ratio,
+        |  round(CASE WHEN n_chars < 10 THEN 0.0
+        |    ELSE 1.0 - least(1.0, punct_ratio * 5) * 0.3
+        |             - least(1.0, upper_ratio * 3) * 0.2 END, 6)
+        |    AS quality_score
+        |FROM f""".stripMargin,
+    "q_langid" -> langIdOracleSql,
+    "q_minhash_dedup" -> minhashOracleSql,
+    "q_simhash" -> simhashOracleSql,
+    "q_ann_lsh" -> annLshOracleSql,
+    "q_embedding_dedup" -> embeddingDedupOracleSql,
+    "q_linkage_clusters" -> linkageOracleSql,
+    "q_multimodal_features" -> multimodalOracleSql,
     // JW oracle recomputes with DuckDB's own jaro_winkler_similarity —
     // engine-independent agreement on the standard definition
     "q_jaro_winkler" ->

@@ -9,74 +9,115 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Single-pass MinHash signature computation.
+/** Single-pass MinHash signature computation over a PORTABLE hash spec.
   *
-  * The declarative (`transform`/`array_min`) formulation re-evaluates the
-  * tokenizing `split` inside interpreted lambda calls — O(numHashes x
-  * shingles) regex runs per row. This expression does one tokenize pass,
-  * one 64-bit hash per shingle, and numHashes rotate-xor minima — a plain
-  * per-row loop that stays inside whole-stage codegen.
+  * The spec is deliberately reproducible from plain SQL in any engine
+  * with an md5 function (the driver's DuckDB oracle recomputes it):
+  *
+  *  - tokens   = runs of `[a-z0-9]+` over the lowercased text
+  *  - shingles = k-word runs joined by a single space (one shingle of all
+  *               words when fewer than k)
+  *  - base(s)  = first 15 hex chars of md5(shingle) as a 60-bit integer
+  *  - h_i(s)   = (a_i * base + b_i) mod (2^61 - 1), with (a_i, b_i) from
+  *               splitmix64 (see [[coeffA]]/[[coeffB]])
+  *  - sig[i]   = min over shingles of h_i
+  *
+  * The declarative (`transform`/`array_min`) formulation would re-run the
+  * tokenizer inside interpreted lambdas — this expression does one
+  * tokenize pass, one md5 per shingle, and numHashes modular-affine
+  * minima, inside whole-stage codegen.
   */
 object MinHashFunctions {
 
-  /** 64-bit FNV-1a over a char range (shingle hashing). */
-  @inline private def fnv1a(chars: Array[Char], from: Int, until: Int,
-      prev: Long): Long = {
-    var h = prev
-    var i = from
-    while (i < until) {
-      h ^= chars(i)
-      h *= 0x100000001B3L
-      i += 1
-    }
-    h
-  }
+  /** Mersenne prime modulus of the universal-hash family. */
+  val M61: Long = (1L << 61) - 1
 
-  private def avalanche(x: Long): Long = {
-    var z = x
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
 
-  /** MinHash signature of lowercased word `k`-shingles. */
+  /** Multiplier of hash i: in [1, M61-1]. */
+  def coeffA(i: Int): Long =
+    java.lang.Long.remainderUnsigned(splitmix64(2L * i), M61 - 1) + 1
+
+  /** Offset of hash i: in [0, M61-1]. */
+  def coeffB(i: Int): Long =
+    java.lang.Long.remainderUnsigned(splitmix64(2L * i + 1), M61)
+
+  /** (a * b) mod M61 for a, b < 2^61 without overflow: split the 122-bit
+    * product at bit 61; x mod (2^61-1) = (hi + lo) mod (2^61-1).
+    */
+  @inline private def mulModM61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var s = (lo & M61) + ((hi << 3) | (lo >>> 61))
+    while (s >= M61) s -= M61
+    s
+  }
+
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def coeffs(n: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(n, k =>
+      (Array.tabulate(k)(coeffA), Array.tabulate(k)(coeffB)))
+
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5(s): equals parsing the first 15 hex chars. */
+  def md5Base60(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var be = 0L
+    var i = 0
+    while (i < 8) { be = (be << 8) | (d(i) & 0xFFL); i += 1 }
+    be >>> 4
+  }
+
+  /** MinHash signature of lowercased ascii-word `k`-shingles. */
   def minhashSignature(u: UTF8String, numHashes: Int, k: Int): ArrayData = {
     val text = u.toString.toLowerCase(java.util.Locale.ROOT)
     val chars = text.toCharArray
-    // word boundaries (runs of letters/digits)
+    @inline def isWordChar(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+    // word boundaries (runs of [a-z0-9])
     val starts = new java.util.ArrayList[Int]()
     val ends = new java.util.ArrayList[Int]()
     var i = 0
     while (i < chars.length) {
-      if (Character.isLetterOrDigit(chars(i))) {
+      if (isWordChar(chars(i))) {
         starts.add(i)
-        while (i < chars.length && Character.isLetterOrDigit(chars(i))) i += 1
+        while (i < chars.length && isWordChar(chars(i))) i += 1
         ends.add(i)
       } else i += 1
     }
     val nWords = starts.size()
     val nShingles = math.max(1, nWords - k + 1)
+    val (as, bs) = coeffs(numHashes)
 
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder(64)
     var s = 0
     while (s < nShingles) {
-      // hash the k-word shingle (words separated by a virtual space)
-      var h = 0xCBF29CE484222325L
+      sb.setLength(0)
       var w = s
       val wEnd = math.min(s + k, nWords)
       while (w < wEnd) {
-        h = fnv1a(chars, starts.get(w), ends.get(w), h)
-        h ^= ' '
-        h *= 0x100000001B3L
+        if (w > s) sb.append(' ')
+        sb.append(chars, starts.get(w), ends.get(w) - starts.get(w))
         w += 1
       }
-      h = avalanche(h)
-      // rotate-xor family
+      val base = md5Base60(sb.toString)
       var j = 0
       while (j < numHashes) {
-        val r = j % 63 + 1
-        val v = (java.lang.Long.rotateLeft(h, r)) ^
-          (0xD1B54A32D192ED03L * (2 * j + 1))
+        var v = mulModM61(as(j), base) + bs(j)
+        if (v >= M61) v -= M61
         if (v < mins(j)) mins(j) = v
         j += 1
       }

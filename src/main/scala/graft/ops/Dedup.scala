@@ -119,23 +119,32 @@ object Dedup {
     round(when(uni === 0, 0.0).otherwise(inter / uni), 6)
   }
 
-  /** SimHash (64-bit) of a text column: per-bit majority vote over token
-    * hashes, assembled declaratively (64 conditional sums — one codegen'd
-    * aggregate, no UDAF).
+  /** SimHash bit width: 60 bits — the token hash is the first 15 hex
+    * chars of md5(token), a PORTABLE spec any engine with md5 can
+    * recompute (the driver's DuckDB oracle does).
+    */
+  val SimhashBits = 60
+
+  /** SimHash of a text column: per-bit majority vote over md5-derived
+    * token hashes, assembled declaratively (60 conditional sums — one
+    * codegen'd aggregate, no UDAF). Tokens are `[a-z0-9]+` runs of the
+    * lowercased text; token hash = first 60 bits of md5 (same spec as
+    * [[graft.functions.MinHashFunctions]]).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = df.select(
       col(idCol).as("id"),
-      explode(split(lower(trim(col(textCol))), "\\W+")).as("tok"))
-      .where(length(col("tok")) > 0)
-      .withColumn("h", xxhash64(col("tok")))
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z0-9]+"), lit(0))).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
 
-    val bitVotes = (0 until 64).map { b =>
+    val bitVotes = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"bit_$b")
     }
     val voted = tokens.groupBy("id").agg(bitVotes.head, bitVotes.tail: _*)
-    val assembled = (0 until 64)
+    val assembled = (0 until SimhashBits)
       .map(b =>
         when(col(s"bit_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
       .reduce(_.bitwiseOR(_))

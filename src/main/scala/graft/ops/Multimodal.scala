@@ -25,28 +25,34 @@ object Multimodal {
     StructField("duration_ms", LongType, nullable = true),
     StructField("payload", BinaryType, nullable = false)))
 
+  /** Pure per-row generator shared by the distributed path and the
+    * driver-side oracle (determinism pin for the mapPartitions plumbing).
+    */
+  def syntheticRow(i: Long, seed: Long): (Long, String, String,
+      Option[Int], Option[Int], Option[Long], Array[Byte]) = {
+    val rnd = new scala.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
+    val kind = Seq("image", "audio", "video")((i % 3).toInt)
+    val payload = new Array[Byte](256 + rnd.nextInt(256))
+    rnd.nextBytes(payload)
+    (i, kind,
+      kind match {
+        case "image" => "image/png"
+        case "audio" => "audio/wav"
+        case _       => "video/mp4"
+      },
+      if (kind == "image") Some(64 + rnd.nextInt(512)) else None,
+      if (kind == "image") Some(64 + rnd.nextInt(512)) else None,
+      if (kind != "image") Some(1000L + rnd.nextInt(60000)) else None,
+      payload)
+  }
+
   /** Deterministic synthetic media table (payload = pseudo-random bytes
     * derived from the id) for tests and benchmarks.
     */
   def synthesize(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
     import spark.implicits._
     spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
-      .map { i =>
-        val rnd = new scala.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
-        val kind = Seq("image", "audio", "video")((i % 3).toInt)
-        val payload = new Array[Byte](256 + rnd.nextInt(256))
-        rnd.nextBytes(payload)
-        (i, kind,
-          kind match {
-            case "image" => "image/png"
-            case "audio" => "audio/wav"
-            case _       => "video/mp4"
-          },
-          if (kind == "image") Some(64 + rnd.nextInt(512)) else None,
-          if (kind == "image") Some(64 + rnd.nextInt(512)) else None,
-          if (kind != "image") Some(1000L + rnd.nextInt(60000)) else None,
-          payload)
-      }
+      .map(i => syntheticRow(i, seed))
       .toDF("media_id", "kind", "mime", "width", "height", "duration_ms",
         "payload")
   }

@@ -64,17 +64,28 @@ object SimilaritySearch {
     * derived from (plane, dimension) via xxhash64 — no external state, so
     * executors agree without a broadcast.
     */
+  /** Deterministic +/-1 hyperplane component for (seed, plane, dim) —
+    * splitmix64 parity. Public so the driver oracle can embed the SAME
+    * plane matrix as SQL literals.
+    */
+  def planeSign(seed: Int, p: Int, d: Int): Double = {
+    var z = ((seed.toLong * 1000003L + p) * 1000003L + d) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if (((z >>> 17) & 1L) == 1L) 1.0 else -1.0
+  }
+
   def lshSignature(vec: Column, dim: Int, nPlanes: Int = 16,
       seed: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
-      // deterministic pseudo-random +/-1 hyperplane via hash parity
+      // plane components are plan-time literals (no per-row hash calls);
+      // the projection is a sequential left fold — bit-exactly
+      // reproducible as `0 + x1*s1 + x2*s2 + ...` in any engine
+      val signs = array((0 until dim).map(d =>
+        lit(planeSign(seed, p, d))): _*)
       val proj = aggregate(
-        zip_with(
-          vec,
-          transform(sequence(lit(0), lit(dim - 1)),
-            d => when(xxhash64(lit(p), d, lit(seed)).bitwiseAND(1) === 1, 1.0)
-              .otherwise(-1.0)),
-          (x, h) => x.cast("double") * h),
+        zip_with(vec, signs, (x, h) => x.cast("double") * h),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }

@@ -13,7 +13,7 @@ object TextAnalysis {
   /** Tiny per-language stopword signatures for the n-gram/stopword
     * language-ID heuristic (deterministic, embedded — no external model).
     */
-  private val StopwordSignatures: Map[String, Seq[String]] = Map(
+  val StopwordSignatures: Map[String, Seq[String]] = Map(
     "en" -> Seq(" the ", " and ", " of ", " to ", " in ", " is "),
     "de" -> Seq(" der ", " die ", " und ", " das ", " ist ", " nicht "),
     "fr" -> Seq(" le ", " la ", " et ", " les ", " des ", " est "),
