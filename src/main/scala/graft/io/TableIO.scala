@@ -1,30 +1,37 @@
 package graft.io
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Iceberg-shaped checkpoint layer over parquet (no Iceberg jar ships in
   * this environment — see SURVEY.md §7): every stage commit is
-  * write-to-temp + atomic rename + JSON snapshot manifest, so a killed job
-  * resumes from the last committed snapshot and a half-written stage is
-  * never read. Swap [[TableIO]] for a real Iceberg catalog by replacing
+  * write-to-temp + filesystem rename + JSON snapshot manifest, so a killed
+  * job resumes from the last committed snapshot and a half-written stage
+  * is never read. Swap [[TableIO]] for a real Iceberg catalog by replacing
   * this one class.
   *
-  * Manifest records per-stage lineage counters (rows written, upstream
-  * stage, wall-clock) — the north rule's per-partition lineage/metrics.
+  * Cluster-real I/O: all paths go through the Hadoop [[FileSystem]] API,
+  * so the same code runs on HDFS (atomic dir rename), S3A (copy-rename),
+  * or local disk — not java.nio, which only exists on the driver's local
+  * filesystem. Metrics are collected DURING the write via `observe()`
+  * (row count in one pass, no second scan) plus parquet file sizes from
+  * directory metadata; nothing re-reads committed data.
   */
 final class TableIO(spark: SparkSession, root: String) {
 
-  private val rootPath = Paths.get(root)
-  Files.createDirectories(rootPath)
+  private val rootPath = new Path(root)
+  private val fs: FileSystem =
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  fs.mkdirs(rootPath)
 
-  private def stageDir(stage: String): Path = rootPath.resolve(stage)
+  private def stageDir(stage: String): Path = new Path(rootPath, stage)
   private def manifestPath(stage: String): Path =
-    rootPath.resolve(s"$stage.manifest.json")
+    new Path(rootPath, s"$stage.manifest.json")
 
-  def isCommitted(stage: String): Boolean = Files.exists(manifestPath(stage))
+  def isCommitted(stage: String): Boolean = fs.exists(manifestPath(stage))
 
   def read(stage: String): DataFrame =
     spark.read.parquet(stageDir(stage).toString)
@@ -40,64 +47,75 @@ final class TableIO(spark: SparkSession, root: String) {
 
     val t0 = System.nanoTime()
     val df = compute
-    val tmp = rootPath.resolve(s"_tmp_$stage")
-    deleteRecursively(tmp)
-    var writer = df.write.mode("overwrite")
+    val tmp = new Path(rootPath, s"_tmp_$stage")
+    fs.delete(tmp, true)
+
+    // lineage counters collected DURING the write — one pass, no re-read
+    val obs = Observation(s"graft_${stage}_${System.nanoTime()}")
+    val observed = df.observe(obs, count(lit(1)).as("rows"))
+    var writer = observed.write.mode("overwrite")
     if (partitionBy.nonEmpty)
       writer = writer.partitionBy(partitionBy: _*)
     writer.parquet(tmp.toString)
+    val rows = obs.get("rows").asInstanceOf[Long]
 
-    val committed = spark.read.parquet(tmp.toString)
-    // per-partition lineage counters (north rule): row count per partition
-    // in one pass; the histogram summary lands in the manifest as skew
-    // evidence (max/min/mean rows per partition)
-    val partCounts = committed
-      .groupBy(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
-      .count()
-      .collect()
-      .map(r => r.getLong(1))
-      .sorted
-    val rows = partCounts.sum
-    val partitions = partCounts.length
+    // per-file stats from directory METADATA (no data scan): file count
+    // approximates output partitions, byte histogram evidences skew
+    val files = listParquetFiles(tmp)
+    val sizes = files.map(_.getLen).sorted
+    val nFiles = sizes.length
+    val totalBytes = sizes.sum
 
-    deleteRecursively(stageDir(stage))
-    Files.move(tmp, stageDir(stage), StandardCopyOption.ATOMIC_MOVE)
+    fs.delete(stageDir(stage), true)
+    if (!fs.rename(tmp, stageDir(stage)))
+      throw new java.io.IOException(
+        s"commit rename failed for stage '$stage' ($tmp -> ${stageDir(stage)})")
 
     val elapsedMs = (System.nanoTime() - t0) / 1000000
-    val maxRows = if (partCounts.isEmpty) 0L else partCounts.last
-    val minRows = if (partCounts.isEmpty) 0L else partCounts.head
-    val meanRows = if (partitions == 0) 0L else rows / partitions
     val manifest =
-      s"""{"stage":"${esc(stage)}","rows":$rows,"partitions":$partitions,
-         |"partition_rows":{"min":$minRows,"mean":$meanRows,"max":$maxRows},
+      s"""{"stage":"${esc(stage)}","rows":$rows,"files":$nFiles,
+         |"bytes":$totalBytes,
+         |"file_bytes":{"min":${if (nFiles == 0) 0L else sizes.head},
+         |"mean":${if (nFiles == 0) 0L else totalBytes / nFiles},
+         |"max":${if (nFiles == 0) 0L else sizes.last}},
          |"rows_per_sec":${if (elapsedMs == 0) 0 else rows * 1000 / elapsedMs},
          |"upstream":[${upstream.map(u => "\"" + esc(u) + "\"").mkString(",")}],
          |"elapsed_ms":$elapsedMs,
          |"committed_at":"${java.time.Instant.now()}"}""".stripMargin
-    val tmpManifest = rootPath.resolve(s"_tmp_$stage.manifest.json")
-    Files.write(tmpManifest, manifest.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmpManifest, manifestPath(stage),
-      StandardCopyOption.ATOMIC_MOVE)
+    val tmpManifest = new Path(rootPath, s"_tmp_$stage.manifest.json")
+    val out = fs.create(tmpManifest, true)
+    try out.write(manifest.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmpManifest, manifestPath(stage)))
+      throw new java.io.IOException(
+        s"manifest rename failed for stage '$stage'")
     read(stage)
+  }
+
+  private def listParquetFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val it = fs.listFiles(dir, true)
+    val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f
+    }
+    buf.result()
   }
 
   /** Drop a stage (and force recompute on next run). */
   def invalidate(stage: String): Unit = {
-    Files.deleteIfExists(manifestPath(stage))
-    deleteRecursively(stageDir(stage))
+    fs.delete(manifestPath(stage), false)
+    fs.delete(stageDir(stage), true)
   }
 
   def manifest(stage: String): Option[String] =
-    if (isCommitted(stage))
-      Some(new String(Files.readAllBytes(manifestPath(stage)),
+    if (isCommitted(stage)) {
+      val in = fs.open(manifestPath(stage))
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
         StandardCharsets.UTF_8))
-    else None
+      finally in.close()
+    } else None
 
   private def esc(s: String): String = s.replace("\"", "\\\"")
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
 }

@@ -20,43 +20,76 @@ final case class MatchEdge(src: Long, dst: Long, key: String)
   * ([[graft.pipeline.Scoring.clusterMatch]]). Records arriving in
   * different micro-batches therefore still link — the streaming
   * equivalent of the batch self-join.
+  *
+  * State is BOUNDED: events are stamped with an ingest timestamp +
+  * watermark, and each block key's state carries an event-time TTL
+  * (`stateTtl`) renewed on every arrival; once the stream's watermark
+  * moves `stateTtl` past a block's last activity, the state-store timeout
+  * evicts it. State size therefore tracks the ACTIVE key set, not every
+  * key ever seen (BM/DM multi-codes fan each token into many keys —
+  * without eviction a long-running stream's checkpoints grow forever).
+  * Event-time (not processing-time) timeout is deliberate: timeouts fire
+  * on watermark advancement, so an idle query does not spin no-data
+  * micro-batches. Recall tradeoff (documented): two records of the same
+  * entity arriving more than `stateTtl` apart no longer co-block
+  * in-stream — at that horizon linkage is the batch pipeline's job over
+  * the archived table.
   */
 object StreamingLinkage {
 
   def edges(
       spark: SparkSession,
       events: Dataset[TokenEvent],
-      maxBlockSize: Int = 1000): Dataset[MatchEdge] = {
+      maxBlockSize: Int = 1000,
+      stateTtl: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[MatchEdge] = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.current_timestamp
     graft.functions.GraftFunctions.register(spark)
 
     val keys = graft.pipeline.Blocking
       .blockingKeys(events.toDF())
-      .as[(Long, String, String)] // (file_id, token, key)
+      .withColumn("ts", current_timestamp())
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, String, String, java.sql.Timestamp)]
+
+    val ttlMs = stateTtl.toMillis
 
     keys
       .groupByKey(_._3)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (key: String, rows: Iterator[(Long, String, String)],
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[(Long, String, String, java.sql.Timestamp)],
             state: GroupState[BlockState]) => {
-          var members =
-            state.getOption.map(_.members.toVector).getOrElse(Vector.empty)
-          val out = Vector.newBuilder[MatchEdge]
-          rows.foreach { case (id, token, _) =>
-            members.foreach { m =>
-              if (m.file_id != id &&
-                  graft.pipeline.Scoring.clusterMatch(m.token, token)) {
-                out += MatchEdge(
-                  math.min(id, m.file_id), math.max(id, m.file_id), key)
+          if (state.hasTimedOut) {
+            // idle block: evict its member list entirely
+            state.remove()
+            Iterator.empty
+          } else {
+            var members =
+              state.getOption.map(_.members.toVector).getOrElse(Vector.empty)
+            val out = Vector.newBuilder[MatchEdge]
+            var maxTs = 0L
+            rows.foreach { case (id, token, _, ts) =>
+              if (ts.getTime > maxTs) maxTs = ts.getTime
+              members.foreach { m =>
+                if (m.file_id != id &&
+                    graft.pipeline.Scoring.clusterMatch(m.token, token)) {
+                  out += MatchEdge(
+                    math.min(id, m.file_id), math.max(id, m.file_id), key)
+                }
+              }
+              if (members.size < maxBlockSize &&
+                  !members.exists(_.file_id == id)) {
+                members = members :+ BlockMember(id, token)
               }
             }
-            if (members.size < maxBlockSize &&
-                !members.exists(_.file_id == id)) {
-              members = members :+ BlockMember(id, token)
-            }
+            state.update(BlockState(members))
+            // renew the TTL from this block's newest event (must stay
+            // ahead of the current watermark)
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(maxTs, wm + 1) + ttlMs)
+            out.result().iterator
           }
-          state.update(BlockState(members))
-          out.result().iterator
         })
   }
 }

@@ -39,4 +39,44 @@ class StreamingLinkageSpec extends AnyFunSuite {
       assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
     } finally query.stop()
   }
+
+  test("idle block state is evicted by the watermark-driven TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[TokenEvent]
+    val edges = StreamingLinkage.edges(spark, input.toDS(),
+      stateTtl = java.time.Duration.ofMillis(1))
+    val query = edges.writeStream
+      .format("memory")
+      .queryName("stream_edges_ttl")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(TokenEvent(1L, "smith"), TokenEvent(2L, "alessandro"))
+      query.processAllAvailable()
+      val stateAfter1 = query.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateAfter1 > 0, "batch 1 must create block state")
+
+      // let the TTL lapse, then process another batch: the timeout pass
+      // must evict every idle block from batch 1
+      Thread.sleep(50)
+      input.addData(TokenEvent(9L, "zzyzx"))
+      query.processAllAvailable()
+      // one more empty-ish tick so timeout eviction from the previous
+      // batch is reflected in state metrics
+      input.addData(TokenEvent(10L, "qqqq"))
+      query.processAllAvailable()
+      val stateAfterTtl = query.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateAfterTtl < stateAfter1,
+        s"state must shrink after TTL eviction: $stateAfter1 -> $stateAfterTtl")
+
+      // and a smith arriving after eviction does NOT link to the evicted 1L
+      input.addData(TokenEvent(11L, "smyth"))
+      query.processAllAvailable()
+      val pairs = spark.table("stream_edges_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!pairs.contains((1L, 11L)), pairs.mkString(","))
+    } finally query.stop()
+  }
 }
