@@ -146,7 +146,9 @@ object Bench {
     */
   def bmThroughput(spark: SparkSession, n: Long): (Long, Double) = {
     import org.apache.spark.sql.functions._
-    val secs = steadyState(2) { () =>
+    // 3 reps: BM pays BmConfig parse + fresh codegen-class JIT on the
+    // early reps; the steady-state run is what a long-lived executor sees
+    val secs = steadyState(3) { () =>
       val names = tokenStream(spark, n)
       val forced = names
         .select(size(call_function("graft_bm_codes", col("token"))).as("w"))

@@ -112,7 +112,11 @@ object ScalingBench {
     val nFiles = args.drop(1).headOption.map(_.toLong).getOrElse(400000L)
     val encRows = 8000000L
     val scoreRows = 8000000L
-    val bmRows = 1000000L
+    // sized so steady-state compute dominates fixed per-session costs
+    // (config parse, codegen JIT) at BOTH parallelism levels: the pure
+    // encoder sustains ~600k rows/s at 16 threads, so 3M rows is ~5s of
+    // real work at the high level
+    val bmRows = 3000000L
 
     val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
 
