@@ -32,8 +32,11 @@ object Bench {
     val names = graft.pipeline.NameFixtures.families.flatten
       .map(_.filter(_.isLetter).toLowerCase)
     val pool = array(names.map(lit): _*)
+    // 4x tasks per core: a single wave (1 task/core) makes the job wall
+    // time the MAX over cores, so one descheduled vCPU (common on this
+    // host) stalls everything; smaller tasks rebalance around stragglers
     val base = spark.range(0, n, 1,
-      spark.sparkContext.defaultParallelism)
+      spark.sparkContext.defaultParallelism * 4)
     val withA = base.select(col("id"),
       concat(
         element_at(pool, (pmod(col("id"), lit(names.length)) + 1).cast("int")),
@@ -173,8 +176,14 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
     }
 
-    val (encRows, encSecs) = encoderThroughput(spark, 200000L)
+    // sized so steady-state compute dominates codegen/JIT warmup at 32
+    // threads (~1.5M rows/s through all 12 encoders)
+    val (encRows, encSecs) = encoderThroughput(spark, 2000000L)
     val encThroughput = (encRows / encSecs).toLong
+    val (scRows, scSecs) = scoringThroughput(spark, 2000000L)
+    val scThroughput = (scRows / scSecs).toLong
+    val (bmRows, bmSecs) = bmThroughput(spark, 1000000L)
+    val bmTp = (bmRows / bmSecs).toLong
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -182,7 +191,9 @@ object Bench {
     val total = results.map(_._2).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""encoder_rows_per_sec":$encThroughput,"cpus":$cpus,""" +
+        s""""encoder_rows_per_sec":$encThroughput,""" +
+        s""""scoring_pairs_per_sec":$scThroughput,""" +
+        s""""bm_rows_per_sec":$bmTp,"cpus":$cpus,""" +
         s""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -39,6 +39,29 @@ object SimilaritySearch {
     * @param queries (idCol, vecCol) query set — must be small (broadcast)
     * @return (query_id, vec_id, cos_sim, rank), rank 1..k per query
     */
+  /** Exact two-phase top-k per query: a single window over query_id would
+    * funnel EVERY scored row of a query through one task; instead phase 1
+    * takes a per-(query, salt) partial top-k in parallel (any row outside
+    * its salt's top-k cannot be in the global top-k), and phase 2 ranks
+    * only the surviving salts x k rows.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int,
+      salts: Int = 64): DataFrame = {
+    val salted = scored.withColumn("salt",
+      pmod(hash(col("vec_id")), lit(salts)))
+    val wPartial = Window.partitionBy("query_id", "salt")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val survivors = salted
+      .withColumn("prank", row_number().over(wPartial))
+      .where(col("prank") <= k)
+    val wFinal = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    survivors
+      .withColumn("rank", row_number().over(wFinal))
+      .where(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
   def bruteForceTopK(
       vectors: DataFrame,
       queries: DataFrame,
@@ -51,12 +74,7 @@ object SimilaritySearch {
       .crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim", round(cosine(col("vec"), col("qvec")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "vec_id", "cos_sim", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** Random-hyperplane LSH signature (`nPlanes` sign bits packed into a
@@ -112,11 +130,6 @@ object SimilaritySearch {
       .join(broadcast(q), Seq("sig"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim", round(cosine(col("vec"), col("qvec")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "vec_id", "cos_sim", "rank")
+    topKPerQuery(scored, k)
   }
 }

@@ -10,13 +10,13 @@ object BmProbe {
       .map(_.filter(_.isLetter).toLowerCase)
     val toks = (0 until 10000).map(i => base(i % base.length) + (i % 97)).toArray
 
-    def mt(nThreads: Int, perThread: Int): Double = {
+    def mt(nThreads: Int, perThread: Int, work: String => Int): Double = {
       val threads = (0 until nThreads).map { t =>
         new Thread(() => {
           var k = 0
           var acc = 0
           while (k < perThread) {
-            acc += engine.encode(toks((k * 31 + t) % toks.length)).length
+            acc += work(toks((k * 31 + t) % toks.length))
             k += 1
           }
           if (acc == -1) println(acc)
@@ -26,14 +26,26 @@ object BmProbe {
       threads.foreach(_.start()); threads.foreach(_.join())
       nThreads.toLong * perThread / ((System.nanoTime() - t0) / 1e9)
     }
+    val variants: Seq[(String, String => Int)] = Seq(
+      ("encode", s => engine.encode(s).length),
+      ("codes_via_split", { s =>
+        val raw = engine.encode(s)
+        val parts = graft.phonetic.bm.BeiderMorse.splitCodes(raw)
+        var i = 0; var acc = 0
+        while (i < parts.length) {
+          acc += org.apache.spark.unsafe.types.UTF8String
+            .fromString(parts(i)).numBytes()
+          i += 1
+        }
+        acc
+      }))
     graft.Bench.warmCpus(32)
-    mt(16, 20000) // warm JIT
-    Seq(1, 4, 16).foreach { n =>
-      val best = (1 to 3).map(_ => mt(n, 60000)).max
-      println(f"BMPROBE threads=$n%2d encodes_per_sec=${best.toLong}")
+    variants.foreach { case (_, w) => mt(16, 20000, w) } // warm JIT
+    variants.foreach { case (name, w) =>
+      val e1 = (1 to 3).map(_ => mt(4, 60000, w)).max
+      val e2 = (1 to 3).map(_ => mt(16, 60000, w)).max
+      println(f"BMPROBE $name%-16s tp4=${e1.toLong} tp16=${e2.toLong} " +
+        f"eff=${e2 / e1 / 4.0}%.3f")
     }
-    val e1 = (1 to 3).map(_ => mt(4, 60000)).max
-    val e2 = (1 to 3).map(_ => mt(16, 60000)).max
-    println(f"BMPROBE eff_4_to_16=${e2 / e1 / 4.0}%.3f")
   }
 }
