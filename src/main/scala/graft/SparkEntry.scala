@@ -482,6 +482,28 @@ object SparkEntry {
           round(aggregate(col("features"),
             lit(0.0), (acc, x) => acc + x), 4).as("feature_sum"))
     }),
+    // ---- checkpoint/lineage layer (TableIO commit + resume) ----
+    "q_checkpoint_lineage" -> ((s, _) => {
+      import s.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ckpt").toString
+      val io1 = new graft.io.TableIO(s, dir)
+      val files = RepoFiles.generate(s, nFiles = 200, seed = 42L)
+      val input = io1.stage("input") { files }
+      val tokens = io1.stage("tokens", upstream = Seq("input")) {
+        Tokenizer.tokenize(input)
+      }
+      val r1 = Seq("input" -> input.count(), "tokens" -> tokens.count())
+      // fresh TableIO over the same root: both stages must resume from
+      // the committed snapshots (manifest present, same row counts)
+      val io2 = new graft.io.TableIO(s, dir)
+      val resumed = Seq(
+        ("input", io2.isCommitted("input"), io2.read("input").count()),
+        ("tokens", io2.isCommitted("tokens"), io2.read("tokens").count()))
+      r1.zip(resumed).map { case ((st, n), (_, committed, n2)) =>
+        (st, n, committed && n == n2)
+      }.toDF("stage", "rows", "resume_consistent")
+    }),
     // ---- the linkage pipeline itself (north rule; rows-only) ----
     "q_linkage_clusters" -> ((s, dir) => {
       reg(s)
@@ -645,6 +667,12 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracleSql,
     "q_embedding_dedup" -> embeddingDedupOracleSql,
     "q_linkage_clusters" -> linkageOracleSql,
+    // deterministic stage row counts of the 200-file seed-42 generator;
+    // resume_consistent asserts the second TableIO saw committed
+    // manifests with identical counts
+    "q_checkpoint_lineage" ->
+      Goldens.valuesSql(Seq("stage", "rows", "resume_consistent"),
+        Seq(("input", 200, true), ("tokens", 449, true))),
     "q_multimodal_features" -> multimodalOracleSql,
     // JW oracle recomputes with DuckDB's own jaro_winkler_similarity —
     // engine-independent agreement on the standard definition

@@ -170,9 +170,47 @@ private[bm] object LangBits {
 /** Input viewed as code points, so pattern/context matching is in char
   * space like the reference's `CharSequence` (ref: src/helper.rs:84-197).
   */
-private[bm] final class CodePoints(s: String) {
-  val cps: Array[Int] = s.codePoints().toArray
-  def length: Int = cps.length
+/** Mutable, reusable code-point view: rule matching is in code-point
+  * space; `reset*` refills the buffer in place so the per-encode hot path
+  * (one view per phoneme per final-rule pass) allocates nothing.
+  */
+private[bm] final class CodePoints private (var cps: Array[Int],
+    var length: Int) {
+
+  def this(s: String) = {
+    this(new Array[Int](math.max(s.length, 8)), 0)
+    resetFromString(s)
+  }
+
+  private def ensure(n: Int): Unit =
+    if (cps.length < n) cps = new Array[Int](math.max(n, cps.length * 2))
+
+  def resetFromString(s: String): CodePoints = {
+    ensure(s.length)
+    length = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(length) = cp
+      length += 1
+      i += Character.charCount(cp)
+    }
+    this
+  }
+
+  def resetFromChars(a: Array[Char], from: Int, until: Int): CodePoints = {
+    ensure(until - from)
+    length = 0
+    var i = from
+    while (i < until) {
+      val cp = Character.codePointAt(a, i, until)
+      cps(length) = cp
+      length += 1
+      i += Character.charCount(cp)
+    }
+    this
+  }
+
   def substring(from: Int, until: Int): String = {
     val sb = new java.lang.StringBuilder(until - from)
     var i = from
@@ -589,32 +627,88 @@ private[bm] object BmParser {
   }
 }
 
-/** Mutable sorted set of (phoneme text, languages), array-backed — stands
-  * in for the reference's `BTreeSet<Phoneme>` (Ord on text only; set-insert
-  * keeps the first languages on text collision,
-  * ref: src/beider_morse/engine.rs:34-81). Sizes are <= maxPhonemes (~20),
-  * where a sorted array beats a tree on both allocation and cache behavior
-  * — this sits on the per-row hot path of the Spark expression.
+/** Growable char arena backing one [[PhonemeSet]]: phoneme texts live as
+  * (offset, length) ranges in `chars`, so the set-product hot path copies
+  * primitive chars instead of allocating a String (+ backing array) per
+  * candidate phoneme. Cleared and reused per encode via the engine's
+  * thread-local workspace.
   */
-private[bm] final class PhonemeSet(initialCapacity: Int) {
-  private var texts = new Array[String](math.max(initialCapacity, 4))
-  private var langs = new Array[Long](texts.length)
+private[bm] final class PhonemeArena {
+  var chars = new Array[Char](1024)
+  var len = 0
+  def clear(): Unit = len = 0
+  def ensure(extra: Int): Unit =
+    if (len + extra > chars.length)
+      chars = java.util.Arrays.copyOf(chars,
+        math.max(len + extra, chars.length * 2))
+}
+
+/** Mutable sorted set of (phoneme text, languages) over a [[PhonemeArena]]
+  * — stands in for the reference's `BTreeSet<Phoneme>` (Ord on text only;
+  * set-insert keeps the first languages on text collision,
+  * ref: src/beider_morse/engine.rs:34-81). Sizes are <= maxPhonemes (~20),
+  * where a sorted array beats a tree on both allocation and cache
+  * behavior — this sits on the per-row hot path of the Spark expression.
+  *
+  * Insert protocol: `stage*` writes the candidate text at the arena tip
+  * (NOT yet committed), `commitStaged*` binary-searches the existing
+  * entries and either advances the arena tip (new entry) or abandons the
+  * staged chars (duplicate) — zero garbage either way.
+  */
+private[bm] final class PhonemeSet(val arena: PhonemeArena,
+    initialCapacity: Int) {
+  private var offs = new Array[Int](math.max(initialCapacity, 4))
+  private var lens = new Array[Int](offs.length)
+  private var langs = new Array[Long](offs.length)
   var size: Int = 0
 
-  def textAt(i: Int): String = texts(i)
-  def langAt(i: Int): Long = langs(i)
+  /** Reset the set AND its arena (1:1 ownership). */
+  def clearAll(): Unit = { size = 0; arena.clear() }
 
-  /** Index if present, else -(insertionPoint)-1. Ordering is the
-    * reference's `Phoneme::cmp`: code point by code point, then length
+  def textOff(i: Int): Int = offs(i)
+  def textLen(i: Int): Int = lens(i)
+  def langAt(i: Int): Long = langs(i)
+  def textAt(i: Int): String = new String(arena.chars, offs(i), lens(i))
+
+  /** Stage `src[so, so+sl)` followed by `suffix` at the arena tip; returns
+    * the staged length.
+    */
+  def stage(src: Array[Char], so: Int, sl: Int, suffix: String): Int = {
+    val n = sl + suffix.length
+    arena.ensure(n)
+    System.arraycopy(src, so, arena.chars, arena.len, sl)
+    suffix.getChars(0, suffix.length, arena.chars, arena.len + sl)
+    n
+  }
+
+  /** Stage `src[so, so+sl)` followed by code points `cps[from, until)`. */
+  def stageCps(src: Array[Char], so: Int, sl: Int, cps: CodePoints,
+      from: Int, until: Int): Int = {
+    // worst case 2 chars per code point
+    arena.ensure(sl + (until - from) * 2)
+    System.arraycopy(src, so, arena.chars, arena.len, sl)
+    var w = arena.len + sl
+    var i = from
+    while (i < until) {
+      w += Character.toChars(cps.cps(i), arena.chars, w)
+      i += 1
+    }
+    w - arena.len
+  }
+
+  /** Index if present, else -(insertionPoint)-1, comparing against the
+    * staged range [arena.len, arena.len + n). Ordering is the reference's
+    * `Phoneme::cmp`: code point by code point, then length
     * (ref: src/beider_morse/rule.rs:91-105) — output order and uniqueness
     * both hang off it.
     */
-  private def indexOf(text: String): Int = {
+  private def indexOfStaged(n: Int): Int = {
     var lo = 0
     var hi = size - 1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
-      val c = PhonemeSet.compareText(texts(mid), text)
+      val c = PhonemeSet.compareRange(
+        arena.chars, offs(mid), lens(mid), arena.chars, arena.len, n)
       if (c < 0) lo = mid + 1
       else if (c > 0) hi = mid - 1
       else return mid
@@ -622,54 +716,59 @@ private[bm] final class PhonemeSet(initialCapacity: Int) {
     -(lo + 1)
   }
 
-  private def insertAt(ip: Int, text: String, lang: Long): Unit = {
-    if (size == texts.length) {
-      texts = java.util.Arrays.copyOf(texts, size * 2)
+  private def insertAt(ip: Int, off: Int, n: Int, lang: Long): Unit = {
+    if (size == offs.length) {
+      offs = java.util.Arrays.copyOf(offs, size * 2)
+      lens = java.util.Arrays.copyOf(lens, size * 2)
       langs = java.util.Arrays.copyOf(langs, size * 2)
     }
-    System.arraycopy(texts, ip, texts, ip + 1, size - ip)
+    System.arraycopy(offs, ip, offs, ip + 1, size - ip)
+    System.arraycopy(lens, ip, lens, ip + 1, size - ip)
     System.arraycopy(langs, ip, langs, ip + 1, size - ip)
-    texts(ip) = text
+    offs(ip) = off
+    lens(ip) = n
     langs(ip) = lang
     size += 1
   }
 
   /** BTreeSet::insert semantics: existing (Ord-equal) element wins. */
-  def insertIfAbsent(text: String, lang: Long): Unit = {
-    val i = indexOf(text)
-    if (i < 0) insertAt(-i - 1, text, lang)
+  def commitStagedIfAbsent(n: Int, lang: Long): Unit = {
+    val i = indexOfStaged(n)
+    if (i < 0) {
+      insertAt(-i - 1, arena.len, n, lang)
+      arena.len += n
+    }
   }
 
   /** Final-rule merge: on text collision the existing languages merge with
     * `mergeLangs` (the pre-final-rule phoneme's languages,
     * ref: src/beider_morse/engine.rs:171-180).
     */
-  def insertOrMergeWith(text: String, lang: Long, mergeLangs: Long): Unit = {
-    val i = indexOf(text)
+  def commitStagedOrMergeWith(n: Int, lang: Long, mergeLangs: Long): Unit = {
+    val i = indexOfStaged(n)
     if (i >= 0) langs(i) = langs(i) | mergeLangs
-    else insertAt(-i - 1, text, lang)
+    else {
+      insertAt(-i - 1, arena.len, n, lang)
+      arena.len += n
+    }
   }
 
-  /** New set with `suffix` appended to every text (appending can reorder,
-    * so re-insert).
-    */
-  def withSuffix(suffix: String): PhonemeSet = {
-    val out = new PhonemeSet(size)
-    var i = 0
-    while (i < size) {
-      out.insertIfAbsent(texts(i) + suffix, langs(i))
-      i += 1
-    }
-    out
+  /** Convenience for String candidates (empty-seed / test paths). */
+  def insertIfAbsent(text: String, lang: Long): Unit = {
+    val n = stage(arena.chars, 0, 0, text)
+    commitStagedIfAbsent(n, lang)
   }
 
   def makeString: String = {
     if (size == 0) return ""
-    val sb = new java.lang.StringBuilder
+    var total = size - 1
     var i = 0
+    while (i < size) { total += lens(i); i += 1 }
+    val sb = new java.lang.StringBuilder(total)
+    i = 0
     while (i < size) {
       if (i > 0) sb.append('|')
-      sb.append(texts(i))
+      sb.append(arena.chars, offs(i), lens(i))
       i += 1
     }
     sb.toString
@@ -677,17 +776,24 @@ private[bm] final class PhonemeSet(initialCapacity: Int) {
 }
 
 private[bm] object PhonemeSet {
-  def compareText(a: String, b: String): Int = {
-    var i = 0
-    var j = 0
-    while (i < a.length && j < b.length) {
-      val ca = a.codePointAt(i)
-      val cb = b.codePointAt(j)
+  /** Code-point-wise compare of two char ranges, then remaining UTF-16
+    * length — identical ordering to the previous String-based
+    * `compareText` (and the reference's `Phoneme::cmp`).
+    */
+  def compareRange(a: Array[Char], ao: Int, al: Int,
+      b: Array[Char], bo: Int, bl: Int): Int = {
+    var i = ao
+    var j = bo
+    val aEnd = ao + al
+    val bEnd = bo + bl
+    while (i < aEnd && j < bEnd) {
+      val ca = Character.codePointAt(a, i, aEnd)
+      val cb = Character.codePointAt(b, j, bEnd)
       if (ca != cb) return Integer.compare(ca, cb)
       i += Character.charCount(ca)
       j += Character.charCount(cb)
     }
-    Integer.compare(a.length - i, b.length - j)
+    Integer.compare(aEnd - i, bEnd - j)
   }
 }
 
@@ -734,45 +840,67 @@ final class BeiderMorse(
 
   private val lang = config.langs(nameType)
 
-  private def emptyBuilder(langMask: Long): PhonemeSet = {
-    val s = new PhonemeSet(4)
-    s.insertIfAbsent("", langMask)
-    s
-  }
-
-  private def applyRule(
-      phonemes: PhonemeSet, alternatives: IndexedSeq[BmPhoneme]): PhonemeSet = {
-    val out = new PhonemeSet(math.min(maxPhonemes, 8))
+  /** `out` must be cleared and own a different arena than `in`. */
+  private def applyRule(in: PhonemeSet,
+      alternatives: IndexedSeq[BmPhoneme], out: PhonemeSet): Unit = {
+    val srcChars = in.arena.chars
     var i = 0
     var break = false
-    while (i < phonemes.size && !break) {
-      val leftText = phonemes.textAt(i)
-      val leftLangs = phonemes.langAt(i)
+    while (i < in.size && !break) {
+      val so = in.textOff(i)
+      val sl = in.textLen(i)
+      val leftLangs = in.langAt(i)
       var r = 0
       while (r < alternatives.length && !break) {
         val right = alternatives(r)
         val languages = leftLangs & right.langMask
         if (languages != 0L) {
-          if (out.size < maxPhonemes)
-            out.insertIfAbsent(leftText + right.text, languages)
+          if (out.size < maxPhonemes) {
+            val n = out.stage(srcChars, so, sl, right.text)
+            out.commitStagedIfAbsent(n, languages)
+          }
           if (out.size >= maxPhonemes) break = true
         }
         r += 1
       }
       i += 1
     }
-    out
   }
 
-  private def applyFinalRules(phonemes: PhonemeSet, finalRules: RuleBuckets): PhonemeSet = {
+  /** Append code points `cps[from, until)` to every phoneme of `in` into
+    * `out` (the final-rule unmatched-run passthrough,
+    * ref src/beider_morse/engine.rs:163-166).
+    */
+  private def appendRun(in: PhonemeSet, cps: CodePoints, from: Int,
+      until: Int, out: PhonemeSet): Unit = {
+    val srcChars = in.arena.chars
+    var i = 0
+    while (i < in.size) {
+      val n = out.stageCps(srcChars, in.textOff(i), in.textLen(i),
+        cps, from, until)
+      out.commitStagedIfAbsent(n, in.langAt(i))
+      i += 1
+    }
+  }
+
+  /** Re-encodes every phoneme of `phonemes` through `finalRules` into
+    * `out`; `subA`/`subB` are scratch sets (distinct arenas) ping-ponged
+    * per phoneme.
+    */
+  private def applyFinalRules(phonemes: PhonemeSet, finalRules: RuleBuckets,
+      out: PhonemeSet, subA: PhonemeSet, subB: PhonemeSet,
+      phonemeCps: CodePoints): PhonemeSet = {
     if (finalRules.isEmpty) return phonemes
-    val out = new PhonemeSet(phonemes.size + 4)
+    out.clearAll()
     var p = 0
     while (p < phonemes.size) {
-      val text = phonemes.textAt(p)
       val origLangs = phonemes.langAt(p)
-      var sub = emptyBuilder(origLangs)
-      val input = new CodePoints(text)
+      val input = phonemeCps.resetFromChars(phonemes.arena.chars,
+        phonemes.textOff(p), phonemes.textOff(p) + phonemes.textLen(p))
+      var sub = subA
+      var spare = subB
+      sub.clearAll()
+      sub.insertIfAbsent("", origLangs)
       var i = 0
       val len = input.length
       while (i < len) {
@@ -784,13 +912,14 @@ final class BeiderMorse(
           b += 1
         }
         if (matched != null) {
-          sub = applyRule(sub, matched.phonemes)
+          spare.clearAll()
+          applyRule(sub, matched.phonemes, spare)
+          val t = sub; sub = spare; spare = t
           i += matched.patternLength
         } else {
-          // unmatched chars pass through in final-rule passes (only):
-          // ref src/beider_morse/engine.rs:163-166. Batch the whole
-          // unmatched run into one append — identical to per-char appends
-          // (append never interacts with the phoneme cap).
+          // unmatched chars pass through in final-rule passes (only);
+          // batch the whole unmatched run into one append — identical to
+          // per-char appends (append never interacts with the phoneme cap)
           var j = i + 1
           while (j < len && {
             val bucket2 = finalRules.get(input.cps(j))
@@ -802,13 +931,17 @@ final class BeiderMorse(
             }
             !any
           }) j += 1
-          sub = sub.withSuffix(input.substring(i, j))
+          spare.clearAll()
+          appendRun(sub, input, i, j, spare)
+          val t = sub; sub = spare; spare = t
           i = j
         }
       }
       var s = 0
+      val subChars = sub.arena.chars
       while (s < sub.size) {
-        out.insertOrMergeWith(sub.textAt(s), sub.langAt(s), origLangs)
+        val n = out.stage(subChars, sub.textOff(s), sub.textLen(s), "")
+        out.commitStagedOrMergeWith(n, sub.langAt(s), origLangs)
         s += 1
       }
       p += 1
@@ -868,8 +1001,16 @@ final class BeiderMorse(
       if (concat) words2.mkString(" ")
       else words(0)
 
-    var builder = emptyBuilder(seedMask)
-    val cps = new CodePoints(finalInput)
+    // thread-local arena workspace: the whole encode allocates no
+    // per-candidate Strings — phoneme texts live in reused char arenas
+    // until the single makeString at the end (the set-product previously
+    // built 10-50 KB of short-lived strings per encode)
+    val ws = Workspace.tl.get()
+    var builder = ws.set0
+    var spare = ws.set1
+    builder.clearAll()
+    builder.insertIfAbsent("", seedMask)
+    val cps = ws.cpsMain.resetFromString(finalInput)
     var i = 0
     val end = cps.length
     while (i < end) {
@@ -881,7 +1022,9 @@ final class BeiderMorse(
         b += 1
       }
       if (matched != null) {
-        builder = applyRule(builder, matched.phonemes)
+        spare.clearAll()
+        applyRule(builder, matched.phonemes, spare)
+        val t = builder; builder = spare; spare = t
         i += matched.patternLength
       } else {
         // unmatched chars are dropped in the main pass:
@@ -890,15 +1033,41 @@ final class BeiderMorse(
       }
     }
 
-    builder = applyFinalRules(builder, finalRules1)
-    builder = applyFinalRules(builder, finalRules2)
+    // final passes: out + two scratch sets, all on arenas distinct from
+    // the pass input's
+    val r1 = applyFinalRules(builder, finalRules1, ws.set2, spare, ws.set3,
+      ws.cpsPhoneme)
+    val (out2, sA) =
+      if (r1 eq ws.set2) {
+        (if (builder eq ws.set0) ws.set0 else ws.set1, spare)
+      } else (ws.set2, spare)
+    val r2 = applyFinalRules(r1, finalRules2, out2, sA, ws.set3,
+      ws.cpsPhoneme)
 
-    builder.makeString
+    r2.makeString
   }
 }
 
 object BeiderMorse {
   val DefaultMaxPhonemes = 20
+
+  /** Per-thread arena workspace shared by all engine instances: four
+    * phoneme sets (main-pass ping-pong + final-pass out/scratch) and two
+    * reusable code-point views. Safe under the generic-prefix recursion:
+    * inner `encode` calls complete before the outer call first touches
+    * the workspace (the prefix branch returns early).
+    */
+  private[bm] object Workspace {
+    final class Ws {
+      val set0 = new PhonemeSet(new PhonemeArena, 24)
+      val set1 = new PhonemeSet(new PhonemeArena, 24)
+      val set2 = new PhonemeSet(new PhonemeArena, 24)
+      val set3 = new PhonemeSet(new PhonemeArena, 24)
+      val cpsMain = new CodePoints("")
+      val cpsPhoneme = new CodePoints("")
+    }
+    val tl: ThreadLocal[Ws] = ThreadLocal.withInitial(() => new Ws)
+  }
 
   // precompiled: String.split(regex) recompiles multi-char patterns per call
   private[bm] val Whitespace = java.util.regex.Pattern.compile("\\s+")
