@@ -284,6 +284,11 @@ object SparkEntry {
           length(col("text")).as("n_chars"),
           TextAnalysis.tokenCountCol(col("text")).as("n_tokens"))
     }),
+    "q_subword_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.subwordCountCol(col("text")).as("n_subwords"))
+    }),
     "q_lang_dist" -> ((s, dir) => {
       t(s, dir, "documents").groupBy("lang")
         .agg(count(lit(1)).as("cnt"))
@@ -559,6 +564,11 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_lang_dist" ->
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+    "q_subword_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+        |    AS n_subwords
+        |FROM documents""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
