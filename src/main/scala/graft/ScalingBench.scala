@@ -146,6 +146,17 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
     val nFiles = args.drop(1).headOption.map(_.toLong).getOrElse(400000L)
+
+    // one-off single-level pipeline timing (for large inputs that exceed
+    // one invocation's wall-clock budget): `pipeline-level <n> <cpus>`
+    if (mode == "pipeline-level") {
+      val cpus = args.drop(2).headOption.getOrElse(low)
+      runPipeline(cpus, 2000L) // JIT warm
+      val secs = runPipeline(cpus, nFiles)
+      println(f"PIPELINE_LEVEL cpus=$cpus n=$nFiles secs=$secs%.1f " +
+        f"rows_per_sec=${(nFiles / secs).toLong}")
+      return
+    }
     val encRows = 8000000L
     val scoreRows = 8000000L
     // sized so steady-state compute dominates fixed per-session costs

@@ -116,7 +116,9 @@ object PhoneticFunctions {
     val jw = JaroWinkler.similarity(a, b)
     val lev = ua.levenshteinDistance(ub)
     val (mraRating, mraMatch) = MatchRatingApproach.ratingAndMatch(a, b)
-    val mpEq = Metaphone.default.encode(a) == Metaphone.default.encode(b)
+    // unbounded codes: 4-char truncation collides far too often to be a
+    // transitive-closure edge (distinct long names sharing a code prefix)
+    val mpEq = Metaphone.unbounded.encode(a) == Metaphone.unbounded.encode(b)
     val sxDiff = Soundex.default.difference(a, b)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](jw, lev, mraMatch, mraRating, mpEq, sxDiff))

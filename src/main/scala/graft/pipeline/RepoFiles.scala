@@ -16,14 +16,88 @@ object RepoFiles {
 
   val Langs: Seq[String] = Seq("scala", "java", "rust", "py")
 
+  /** Boundary of the fixture-name regime: the first `FixtureSpan` files
+    * (41 families x 25 files) come from the hand-labeled name-variant
+    * fixtures — every correctness suite and driver query fits inside, so
+    * their outputs are byte-identical to the pre-scaling generator.
+    * Beyond it, entities are SYNTHESIZED (25 files each, random
+    * consonant-vowel base names with phonetically-conservative variant
+    * perturbations) so entity count grows with nFiles — without that, a
+    * 1.6M-file run has ~39k files per name block, every block trips the
+    * skew cap, and the pipeline benchmark degenerates to dropping all
+    * its work.
+    */
+  val FixtureSpan: Long = NameFixtures.families.length.toLong * 25
+
+  /** Files per synthesized entity (matches the fixture density). */
+  val SynthEntitySize: Long = 25
+
+  // Only consonants with NO vowel-context rules in Metaphone or Soundex
+  // (no c/g/s/t: DGE/GE/SIO/TIO rewrites; no h/w/y: soundex specials):
+  // the Metaphone code of a synthesized name is exactly its consonant
+  // sequence, so the consonant digits below make names metaphone-
+  // DISTINCT across entities while every perturbation keeps codes
+  // identical within an entity.
+  private val SynthConsonants = "bdfklmnpr"
+  private val SynthVowels = "aeiou"
+
+  /** Alternating consonant-vowel base name of a synthesized entity: the
+    * six consonants are the base-9 digits of the scrambled entity id
+    * (9^6 = 531k code space — Metaphone-injective up to hash
+    * collisions), vowels are hash-random filler the encoders ignore.
+    */
+  private[pipeline] def synthBase(entityId: Long): String = {
+    val h = scrambleBits(entityId * 0xC2B2AE3D27D4EB4FL + 17)
+    var code = java.lang.Long.remainderUnsigned(h, 531441L) // 9^6
+    var hv = scrambleBits(h + 99)
+    val sb = new StringBuilder(11)
+    var i = 0
+    while (i < 6) {
+      sb.append(SynthConsonants((code % 9).toInt))
+      code /= 9
+      if (i < 5) {
+        hv = scrambleBits(hv + i)
+        sb.append(SynthVowels((((hv >>> 8) & 0x7FFFFFFF) % 5).toInt))
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** A phonetically-conservative variant of a base name: identity, an
+    * internal vowel swap, a doubled internal consonant, or a trailing
+    * 'e' — all invisible to Soundex and Metaphone, so the entity's files
+    * co-block exactly like the fixture families do.
+    */
+  private[pipeline] def synthVariant(base: String, h: Long): String =
+    ((h >>> 2) & 3) match {
+      case 0 => base
+      case 1 =>
+        val nVowels = base.length / 2
+        val idx = 1 + 2 * (((h >>> 16) & 0x7FFFFFFF).toInt % nVowels)
+        base.updated(idx,
+          SynthVowels((((h >>> 24) & 0x7FFFFFFF) % 5).toInt))
+      case 2 =>
+        val nInner = (base.length - 1) / 2
+        val idx = 2 * (1 + ((h >>> 16) & 0x7FFFFFFF).toInt % nInner)
+        base.substring(0, idx + 1) + base.charAt(idx) + base.substring(idx + 1)
+      case _ => base + "e"
+    }
+
   /** Pure row generator, shared by the Spark path and tests. */
   def row(i: Long, seed: Long): (String, String, String, String, String, Int) = {
     val families = NameFixtures.families
-    val familyIdx = (i % families.length).toInt
-    val family = families(familyIdx)
     // deterministic per-row mix, independent of partitioning
     val h = scrambleBits(i * 0x9E3779B97F4A7C15L + seed)
-    val variant = family((h & 0x7FFFFFFF).toInt % family.length)
+    val (variant, entityId) =
+      if (i < FixtureSpan) {
+        val familyIdx = (i % families.length).toInt
+        val family = families(familyIdx)
+        (family((h & 0x7FFFFFFF).toInt % family.length), familyIdx)
+      } else {
+        val entity = i / SynthEntitySize // >= 41: disjoint from families
+        (synthVariant(synthBase(entity), h), entity.toInt)
+      }
     // fuse multi-word names ("Jo Ann" -> "Joann") so the identifier carries
     // the whole name as one token through camelCase splitting
     val letters = variant.filter(_.isLetter)
@@ -50,7 +124,7 @@ object RepoFiles {
          |  }
          |}
          |""".stripMargin
-    (repo, path, commit, lang, content, familyIdx)
+    (repo, path, commit, lang, content, entityId)
   }
 
   private def scrambleBits(x: Long): Long = {

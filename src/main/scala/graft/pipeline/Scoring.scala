@@ -67,8 +67,8 @@ object Scoring {
     */
   def clusterMatch(a: String, b: String): Boolean =
     a == b ||
-      graft.phonetic.Metaphone.default.encode(a) ==
-        graft.phonetic.Metaphone.default.encode(b) ||
+      graft.phonetic.Metaphone.unbounded.encode(a) ==
+        graft.phonetic.Metaphone.unbounded.encode(b) ||
       (graft.phonetic.MatchRatingApproach.isEncodedEquals(a, b) &&
         graft.phonetic.JaroWinkler.similarity(a, b) >= MraJwGate)
 }
