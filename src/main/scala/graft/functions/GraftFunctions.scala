@@ -39,16 +39,16 @@ object GraftFunctions {
 
   /** (name, builder, usage) for every function. */
   val builders: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
-    ("graft_soundex", args => SoundexExpr(args.head),
+    ("graft_soundex", { case Seq(c) => SoundexExpr(c) },
       "graft_soundex(str) - American Soundex (commons-codec semantics incl. H/W rule)"),
-    ("graft_soundex_genealogy", args => SoundexGenealogyExpr(args.head),
+    ("graft_soundex_genealogy", { case Seq(c) => SoundexGenealogyExpr(c) },
       "graft_soundex_genealogy(str) - Soundex with the genealogy.com mapping"),
-    ("graft_soundex_simplified", args => SoundexSimplifiedExpr(args.head),
+    ("graft_soundex_simplified", { case Seq(c) => SoundexSimplifiedExpr(c) },
       "graft_soundex_simplified(str) - Soundex without the H/W special case"),
     ("graft_soundex_mapping",
-      args => SoundexMappingExpr(args(0), strLit(args(1), "mapping")),
+      { case Seq(c, m) => SoundexMappingExpr(c, strLit(m, "mapping")) },
       "graft_soundex_mapping(str, mapping) - Soundex with a custom 26-char mapping literal"),
-    ("graft_refined_soundex", args => RefinedSoundexExpr(args.head),
+    ("graft_refined_soundex", { case Seq(c) => RefinedSoundexExpr(c) },
       "graft_refined_soundex(str) - Refined Soundex"),
     ("graft_metaphone", {
       case Seq(c) => MetaphoneExpr(c, 4)
@@ -59,10 +59,10 @@ object GraftFunctions {
       case Seq(c, l) => DoubleMetaphoneExpr(c, intLit(l))
     }, "graft_double_metaphone(str[, maxLen]) - array(primary, alternate)"),
     ("graft_double_metaphone_primary",
-      args => DoubleMetaphonePrimaryExpr(args.head),
+      { case Seq(c) => DoubleMetaphonePrimaryExpr(c) },
       "graft_double_metaphone_primary(str)"),
     ("graft_double_metaphone_alternate",
-      args => DoubleMetaphoneAlternateExpr(args.head),
+      { case Seq(c) => DoubleMetaphoneAlternateExpr(c) },
       "graft_double_metaphone_alternate(str)"),
     ("graft_nysiis", {
       case Seq(c) => NysiisExpr(c, strict = true)
@@ -72,17 +72,17 @@ object GraftFunctions {
       case Seq(c) => PhonexExpr(c, 4)
       case Seq(c, l) => PhonexExpr(c, intLit(l))
     }, "graft_phonex(str[, maxLen]) - Phonex"),
-    ("graft_cologne", args => CologneExpr(args.head),
+    ("graft_cologne", { case Seq(c) => CologneExpr(c) },
       "graft_cologne(str) - Koelner Phonetik"),
-    ("graft_caverphone1", args => Caverphone1Expr(args.head),
+    ("graft_caverphone1", { case Seq(c) => Caverphone1Expr(c) },
       "graft_caverphone1(str) - Caverphone 1 (6 chars)"),
-    ("graft_caverphone2", args => Caverphone2Expr(args.head),
+    ("graft_caverphone2", { case Seq(c) => Caverphone2Expr(c) },
       "graft_caverphone2(str) - Caverphone 2 (10 chars)"),
-    ("graft_mra_encode", args => MraEncodeExpr(args.head),
+    ("graft_mra_encode", { case Seq(c) => MraEncodeExpr(c) },
       "graft_mra_encode(str) - Match Rating Approach codex"),
-    ("graft_mra_match", args => MraMatchExpr(args(0), args(1)),
+    ("graft_mra_match", { case Seq(a, b) => MraMatchExpr(a, b) },
       "graft_mra_match(a, b) - MRA similarity-rating match decision"),
-    ("graft_mra_rating", args => MraRatingExpr(args(0), args(1)),
+    ("graft_mra_rating", { case Seq(a, b) => MraRatingExpr(a, b) },
       "graft_mra_rating(a, b) - MRA rating (6 best, -1 guard failure)"),
     ("graft_double_metaphone_equal", {
       case Seq(a, b) => DoubleMetaphoneEqualExpr(a, b, alternate = false)
@@ -102,18 +102,18 @@ object GraftFunctions {
           intLit(mp, "maxPhonemes"), strLit(langs, "languagesCsv"))
     }, "graft_bm_encode_langs(str, nameType, ruleType, concat, maxPhonemes, " +
       "languagesCsv) - Beider-Morse encode restricted to a language set"),
-    ("graft_dm_soundex", args => DmSoundexExpr(args.head),
+    ("graft_dm_soundex", { case Seq(c) => DmSoundexExpr(c) },
       "graft_dm_soundex(str) - Daitch-Mokotoff branching codes as array"),
-    ("graft_dm_encode", args => DmEncodeExpr(args.head),
+    ("graft_dm_encode", { case Seq(c) => DmEncodeExpr(c) },
       "graft_dm_encode(str) - Daitch-Mokotoff single (non-branching) code"),
-    ("graft_soundex_difference", args => SoundexDifferenceExpr(args(0), args(1)),
+    ("graft_soundex_difference", { case Seq(a, b) => SoundexDifferenceExpr(a, b) },
       "graft_soundex_difference(a, b) - positional overlap of soundex codes (0-4)"),
     ("graft_refined_soundex_difference",
-      args => RefinedSoundexDifferenceExpr(args(0), args(1)),
+      { case Seq(a, b) => RefinedSoundexDifferenceExpr(a, b) },
       "graft_refined_soundex_difference(a, b)"),
-    ("graft_jaro_winkler", args => JaroWinklerExpr(args(0), args(1)),
+    ("graft_jaro_winkler", { case Seq(a, b) => JaroWinklerExpr(a, b) },
       "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]"),
-    ("graft_score_features", args => ScoreFeaturesExpr(args(0), args(1)),
+    ("graft_score_features", { case Seq(a, b) => ScoreFeaturesExpr(a, b) },
       "graft_score_features(a, b) - struct of all pairwise scoring " +
         "features computed in one pass"),
     ("graft_beider_morse", {

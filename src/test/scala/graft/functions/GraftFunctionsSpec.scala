@@ -105,6 +105,47 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(exploded.contains("angilo") && exploded.contains("dangilo"))
   }
 
+  test("new round-2 SQL surface: variants, dm-equal, bm language functions") {
+    import spark.implicits._
+    val df = Seq(("Dodds", "jumped")).toDF("a", "b")
+    df.createOrReplaceTempView("r2")
+    val r = spark.sql(
+      """SELECT graft_soundex_simplified(a),
+        |  graft_soundex_mapping(b, '01360240043788015936020505'),
+        |  graft_double_metaphone_equal(a, b),
+        |  graft_double_metaphone_equal(a, a, true),
+        |  graft_bm_guess_lang('Renault'),
+        |  graft_bm_encode_langs('Angelo', 'gen', 'exact', true, 20,
+        |    'italian')
+        |FROM r2""".stripMargin).head()
+    assert(r.getString(0) == "D320")
+    assert(r.getString(1) == "J816")
+    assert(!r.getBoolean(2))
+    assert(r.getBoolean(3))
+    assert(r.getString(4) == "french")
+    assert(r.getString(5) == "andZelo")
+  }
+
+  test("option arguments are validated with clear errors") {
+    import spark.implicits._
+    Seq("x").toDF("s").createOrReplaceTempView("argcheck")
+    // non-literal option argument
+    val e1 = intercept[Exception](
+      spark.sql("SELECT graft_metaphone(s, length(s)) FROM argcheck")
+        .collect())
+    assert(e1.getMessage.contains("must be a literal"), e1.getMessage)
+    // NULL option argument
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_nysiis(s, CAST(NULL AS BOOLEAN)) FROM argcheck")
+        .collect())
+    assert(e2.getMessage.contains("must not be NULL"), e2.getMessage)
+    // wrong arity
+    val e3 = intercept[Exception](
+      spark.sql("SELECT graft_soundex(s, 1, 2, 3) FROM argcheck").collect())
+    assert(e3.getMessage.contains("number of arguments") ||
+      e3.getMessage.contains("arguments"), e3.getMessage)
+  }
+
   test("expressions stay codegen-friendly (no ScalaUDF in plan)") {
     import spark.implicits._
     val df = Seq("Washington").toDF("name")

@@ -58,4 +58,26 @@ class MirrorParitySpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, failures.take(5).mkString("\n"))
   }
+
+  test("synthetic entities: variants code-equal within, metaphone-distinct across") {
+    import graft.phonetic.{Metaphone, Soundex}
+    val bases = (41L until 241L).map(RepoFiles.synthBase)
+    // within an entity: every perturbation kind keeps Soundex AND
+    // unbounded Metaphone codes identical (the co-blocking +
+    // cluster-match contract of the scale generator)
+    bases.foreach { b =>
+      Seq(0L, 0x4L, 0x8L, 0xCL, 0x55554L, 0x123456789CL, -1L).foreach { h =>
+        val v = RepoFiles.synthVariant(b, h)
+        assert(Soundex.default.encode(v) == Soundex.default.encode(b),
+          s"soundex($b -> $v)")
+        assert(Metaphone.unbounded.encode(v) == Metaphone.unbounded.encode(b),
+          s"metaphone($b -> $v)")
+        assert(!Tokenizer.StopWords.contains(v), v)
+      }
+    }
+    // across entities: base names are metaphone-distinct (consonant
+    // digits encode the scrambled entity id)
+    val codes = bases.map(Metaphone.unbounded.encode)
+    assert(codes.distinct.size == codes.size)
+  }
 }
