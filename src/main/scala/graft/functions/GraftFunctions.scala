@@ -138,6 +138,14 @@ object GraftFunctions {
         BmCodesExpr(c, strLit(nt), strLit(rt), boolLit(cc), intLit(mp))
     }, "graft_bm_codes(str[, nameType, ruleType, concat, maxPhonemes]) - " +
       "Beider-Morse variants flattened to array<string> for explode()"),
+    ("graft_cosine", { case Seq(a, b) => CosineExpr(a, b) },
+      "graft_cosine(a, b) - cosine similarity of two numeric arrays " +
+        "(single-pass, codegen'd)"),
+    ("graft_lsh_signatures", {
+      case Seq(c, d, p, b, s) => LshSignaturesExpr(c, intLit(d, "dim"),
+        intLit(p, "nPlanes"), intLit(b, "bands"), intLit(s, "seedBase"))
+    }, "graft_lsh_signatures(vec, dim, nPlanes, bands, seedBase) - " +
+      "array of per-band random-hyperplane LSH signatures (single pass)"),
     ("graft_minhash_signature", {
       case Seq(c) => MinHashSignatureExpr(c, 64, 3)
       case Seq(c, n) => MinHashSignatureExpr(c, intLit(n), 3)

@@ -174,11 +174,16 @@ object Dedup {
       bands: Int = 8,
       minCosine: Double = 0.9,
       maxBucketSize: Int = 1000): DataFrame = {
+    // single-pass fused signature expression: the declarative per-band
+    // formulation compiles bands x nPlanes x dim expression nodes and
+    // re-reads the vector once per band; graft_lsh_signatures reads it
+    // once and emits the same bit-identical signatures
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val vec = col(vecCol)
     val banded = df.select(
       col(idCol).as("id"), vec.as("vec"),
-      posexplode(array((0 until bands).map(b =>
-        SimilaritySearch.lshSignature(vec, dim, nPlanes, seed = b)): _*)))
+      posexplode(call_function("graft_lsh_signatures", vec,
+        lit(dim), lit(nPlanes), lit(bands), lit(0))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "sig")
     val oversized = banded

@@ -18,27 +18,15 @@ import org.apache.spark.sql.functions._
 object SimilaritySearch {
 
   /** Cosine similarity of two array<float>/array<double> columns (computed
-    * in double, sequential sum — deterministic).
+    * in double, sequential index-order sums — deterministic and
+    * bit-identical to the declarative zip_with/aggregate formulation).
+    * Uses the fused codegen'd [[graft.functions.CosineExpr]] — the
+    * higher-order-function chain runs interpreted lambdas per element;
+    * callers must have `GraftFunctions.register`ed the session (every op
+    * here does).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(
-      transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    when(na === 0 || nb === 0, 0.0).otherwise(dot / (na * nb))
-  }
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
-  /** Brute-force top-k cosine neighbors for each query vector.
-    *
-    * @param vectors (idCol, vecCol) table to search
-    * @param queries (idCol, vecCol) query set — must be small (broadcast)
-    * @return (query_id, vec_id, cos_sim, rank), rank 1..k per query
-    */
   /** Exact two-phase top-k per query: a single window over query_id would
     * funnel EVERY scored row of a query through one task; instead phase 1
     * takes a per-(query, salt) partial top-k in parallel (any row outside
@@ -62,12 +50,17 @@ object SimilaritySearch {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
+  /** Brute-force top-k cosine neighbors for each query vector: (query_id,
+    * vec_id, cos_sim, rank) with rank 1..k per query; the query set must
+    * be small (broadcast).
+    */
   def bruteForceTopK(
       vectors: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
     val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = v
@@ -77,11 +70,6 @@ object SimilaritySearch {
     topKPerQuery(scored, k)
   }
 
-  /** Random-hyperplane LSH signature (`nPlanes` sign bits packed into a
-    * long). Hyperplane components are deterministic pseudo-random values
-    * derived from (plane, dimension) via xxhash64 — no external state, so
-    * executors agree without a broadcast.
-    */
   /** Deterministic +/-1 hyperplane component for (seed, plane, dim) —
     * splitmix64 parity. Public so the driver oracle can embed the SAME
     * plane matrix as SQL literals.
@@ -94,6 +82,11 @@ object SimilaritySearch {
     if (((z >>> 17) & 1L) == 1L) 1.0 else -1.0
   }
 
+  /** Random-hyperplane LSH signature (`nPlanes` sign bits packed into a
+    * long) — the declarative reference formulation that DEFINES the
+    * signature semantics; the fused [[graft.functions.LshSignaturesExpr]]
+    * is asserted bit-identical to it and used on hot paths.
+    */
   def lshSignature(vec: Column, dim: Int, nPlanes: Int = 16,
       seed: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
@@ -122,10 +115,15 @@ object SimilaritySearch {
       dim: Int,
       k: Int = 10,
       nPlanes: Int = 12): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    // fused single-band signature (bit-identical to lshSignature)
+    def sig(c: Column) = element_at(
+      call_function("graft_lsh_signatures", c,
+        lit(dim), lit(nPlanes), lit(1), lit(0)), 1)
     val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
-      lshSignature(col(vecCol), dim, nPlanes).as("sig"))
+      sig(col(vecCol)).as("sig"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      lshSignature(col(vecCol), dim, nPlanes).as("sig"))
+      sig(col(vecCol)).as("sig"))
     val scored = v
       .join(broadcast(q), Seq("sig"))
       .where(col("vec_id") =!= col("query_id"))

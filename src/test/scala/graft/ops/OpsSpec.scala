@@ -65,6 +65,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("banded embedding LSH recall vs brute-force ground truth") {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val rnd = new scala.util.Random(42)
     val dim = 32
     // 20 base vectors, each with a noisy near-copy (cos > 0.99), plus
@@ -141,6 +142,26 @@ class SimilaritySearchSpec extends AnyFunSuite {
       .orderBy("rank").collect()
     assert(top.head.getLong(1) == 1L, "planted neighbor must rank first")
     assert(top.head.getDouble(2) > 0.999)
+  }
+
+  test("fused lsh signatures equal the declarative formulation bit-for-bit") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(3)
+    val dim = 32
+    val df = (0L until 200L)
+      .map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1).toSeq))
+      .toDF("vec_id", "embedding")
+    val bands = 4
+    val cmp = df.select(
+      (0 until bands).map { b =>
+        (element_at(call_function("graft_lsh_signatures", $"embedding",
+          lit(dim), lit(6), lit(bands), lit(0)), b + 1) ===
+          SimilaritySearch.lshSignature($"embedding", dim, 6, seed = b))
+          .as(s"eq_$b")
+      }: _*)
+    val rows = cmp.collect()
+    assert(rows.forall(r => (0 until bands).forall(r.getBoolean)), "mismatch")
   }
 
   test("lsh top-k returns a subset with matching signature") {
