@@ -65,20 +65,24 @@ object Bench {
     threads.foreach(_.join(100))
   }
 
-  /** Steady-state timing: execute freshly-built copies of the query until
-    * the time stabilizes and return the best run. Two traps this avoids:
-    * re-running the *same* DataFrame object reuses shuffle outputs (the
-    * repeat would measure nothing), and the first executions of a new
-    * whole-stage-codegen class run interpreted until C2 catches up (30s+
-    * of compile lag on this JVM), which is not the throughput a long-lived
-    * executor sees.
+  /** Steady-state throughput of a projection: build the query ONCE, then
+    * re-execute its RDD (no exchange, so nothing is cached or reused
+    * between runs) to a count that forces every projected column. One
+    * codegen class, C2-hot after the warm run — rebuilding per rep would
+    * generate a fresh class each time, and late in a long-lived JVM the
+    * C2 compile backlog leaves fresh classes interpreted for most of a
+    * measurement (observed as 10x throughput collapse in the post-query
+    * phase of a full Bench run).
     */
-  private def steadyState(reps: Int)(build: () => Long): Double = {
+  private def steadyRdd(df: org.apache.spark.sql.DataFrame, n: Long,
+      reps: Int = 3): Double = {
+    val rdd = df.queryExecution.toRdd
+    require(rdd.count() == n) // warm: codegen + C2 + lazy inits
     var best = Double.MaxValue
     var r = 0
     while (r < reps) {
       val t0 = System.nanoTime()
-      build()
+      require(rdd.count() == n)
       val s = (System.nanoTime() - t0) / 1e9
       if (s < best) best = s
       r += 1
@@ -87,34 +91,28 @@ object Bench {
   }
 
   /** Encoder throughput: run all 12 table-driven phonetic expressions over
-    * n name-like tokens and count. Returns (rows, seconds).
+    * n name-like tokens. Returns (rows, seconds). The single projected
+    * column sums every encoder output so Catalyst cannot prune any
+    * encoder away (select-then-count of unused columns measures nothing).
     */
   def encoderThroughput(spark: SparkSession, n: Long): (Long, Double) = {
     import org.apache.spark.sql.functions._
-    val secs = steadyState(2) { () =>
-      val names = tokenStream(spark, n)
-      // aggregate over every output so Catalyst cannot prune the encoder
-      // projections away (select-then-count measures nothing)
-      val forced = names.select(
-        (length(call_function("graft_soundex", col("token"))) +
-          length(call_function("graft_refined_soundex", col("token"))) +
-          length(call_function("graft_metaphone", col("token"))) +
-          size(call_function("graft_double_metaphone", col("token"))) +
-          length(call_function("graft_nysiis", col("token"))) +
-          length(call_function("graft_phonex", col("token"))) +
-          length(call_function("graft_cologne", col("token"))) +
-          length(call_function("graft_caverphone1", col("token"))) +
-          length(call_function("graft_caverphone2", col("token"))) +
-          length(call_function("graft_mra_encode", col("token"))) +
-          size(call_function("graft_dm_soundex", col("token"))) +
-          length(call_function("graft_dm_encode", col("token"))))
-          .as("w"))
-        .agg(sum(col("w")))
-        .head()
-      require(!forced.isNullAt(0))
-      n
-    }
-    (n, secs)
+    val names = tokenStream(spark, n)
+    val forced = names.select(
+      (length(call_function("graft_soundex", col("token"))) +
+        length(call_function("graft_refined_soundex", col("token"))) +
+        length(call_function("graft_metaphone", col("token"))) +
+        size(call_function("graft_double_metaphone", col("token"))) +
+        length(call_function("graft_nysiis", col("token"))) +
+        length(call_function("graft_phonex", col("token"))) +
+        length(call_function("graft_cologne", col("token"))) +
+        length(call_function("graft_caverphone1", col("token"))) +
+        length(call_function("graft_caverphone2", col("token"))) +
+        length(call_function("graft_mra_encode", col("token"))) +
+        size(call_function("graft_dm_soundex", col("token"))) +
+        length(call_function("graft_dm_encode", col("token"))))
+        .as("w"))
+    (n, steadyRdd(forced, n))
   }
 
   /** Pairwise-scoring throughput: n synthetic candidate pairs through the
@@ -123,24 +121,18 @@ object Bench {
     */
   def scoringThroughput(spark: SparkSession, n: Long): (Long, Double) = {
     import org.apache.spark.sql.functions._
-    val secs = steadyState(2) { () =>
-      val pairs = tokenStream(spark, n, col2 = true)
-        .select(col("id").as("src"), (col("id") + 1).as("dst"),
-          col("token").as("token_a"), col("token_b"))
-      // force every feature column (filter-on-one would let Catalyst prune
-      // the rest)
-      val forced = graft.pipeline.Scoring.score(pairs)
-        .select(
-          (col("jaro_winkler") + col("lev") + col("mra_rating") +
-            col("soundex_diff") +
-            col("mra_match").cast("int") + col("metaphone_eq").cast("int"))
-            .as("w"))
-        .agg(sum(col("w")))
-        .head()
-      require(!forced.isNullAt(0))
-      n
-    }
-    (n, secs)
+    val pairs = tokenStream(spark, n, col2 = true)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"),
+        col("token").as("token_a"), col("token_b"))
+    // force every feature column (filter-on-one would let Catalyst prune
+    // the rest)
+    val forced = graft.pipeline.Scoring.score(pairs)
+      .select(
+        (col("jaro_winkler") + col("lev") + col("mra_rating") +
+          col("soundex_diff") +
+          col("mra_match").cast("int") + col("metaphone_eq").cast("int"))
+          .as("w"))
+    (n, steadyRdd(forced, n))
   }
 
   /** Beider-Morse throughput, measured separately: at ~100us/encode it is
@@ -149,18 +141,9 @@ object Bench {
     */
   def bmThroughput(spark: SparkSession, n: Long): (Long, Double) = {
     import org.apache.spark.sql.functions._
-    // 3 reps: BM pays BmConfig parse + fresh codegen-class JIT on the
-    // early reps; the steady-state run is what a long-lived executor sees
-    val secs = steadyState(3) { () =>
-      val names = tokenStream(spark, n)
-      val forced = names
-        .select(size(call_function("graft_bm_codes", col("token"))).as("w"))
-        .agg(sum(col("w")))
-        .head()
-      require(!forced.isNullAt(0))
-      n
-    }
-    (n, secs)
+    val forced = tokenStream(spark, n)
+      .select(size(call_function("graft_bm_codes", col("token"))).as("w"))
+    (n, steadyRdd(forced, n))
   }
 
   def main(args: Array[String]): Unit = {
@@ -178,6 +161,7 @@ object Bench {
 
     // sized so steady-state compute dominates codegen/JIT warmup at 32
     // threads (~1.5M rows/s through all 12 encoders)
+    warmCpus(cpus.toInt)
     val (encRows, encSecs) = encoderThroughput(spark, 2000000L)
     val encThroughput = (encRows / encSecs).toLong
     val (scRows, scSecs) = scoringThroughput(spark, 2000000L)
