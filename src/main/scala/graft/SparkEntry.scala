@@ -141,18 +141,30 @@ object SparkEntry {
       s"(CASE WHEN ($proj) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** DuckDB ANN-LSH oracle: same plane literals, bucket join, cosine and
-    * ranking as `q_ann_lsh` (dim=64, nPlanes=8, k=10, queries vec_id<5).
+  /** DuckDB ANN-LSH oracle: same per-band plane literals, bucket join,
+    * cosine and ranking as `q_ann_lsh` (dim=64, nPlanes=8, bands=4, k=10,
+    * queries vec_id<5).
     */
   private def annLshOracleSql: String = {
-    val sig = lshSigSql("embedding", dim = 64, nPlanes = 8, seed = 0)
-    s"""WITH v AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, embedding AS qvec, sig FROM v
-       |  WHERE vec_id < 5),
-       |scored AS (SELECT query_id, v.vec_id,
-       |    round(list_cosine_similarity(v.embedding::DOUBLE[],
+    val bands = 4
+    val sigCols = (0 until bands).map(b =>
+      s"${lshSigSql("embedding", dim = 64, nPlanes = 8, seed = b)} AS s$b")
+      .mkString(",\n  ")
+    val bandSel = (0 until bands).map(b =>
+      s"SELECT vec_id, embedding, $b AS band, s$b AS sig FROM sigs")
+      .mkString("\nUNION ALL\n")
+    s"""WITH sigs AS (SELECT vec_id, embedding, $sigCols FROM embeddings),
+       |banded AS ($bandSel),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec, band, sig
+       |  FROM banded WHERE vec_id < 5),
+       |cand AS (SELECT DISTINCT query_id, banded.vec_id,
+       |    banded.embedding AS vemb, qvec
+       |  FROM banded JOIN q USING (band, sig)
+       |  WHERE banded.vec_id <> query_id),
+       |scored AS (SELECT query_id, vec_id,
+       |    round(list_cosine_similarity(vemb::DOUBLE[],
        |      qvec::DOUBLE[]), 6) AS cos_sim
-       |  FROM v JOIN q USING (sig) WHERE v.vec_id <> query_id),
+       |  FROM cand),
        |ranked AS (SELECT *, row_number() OVER
        |  (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
        |  FROM scored)

@@ -103,9 +103,12 @@ object SimilaritySearch {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** LSH-bucketed ANN: search only vectors whose signature matches the
-    * query's. Returns same shape as [[bruteForceTopK]]; recall < 1 by
-    * construction, cost ~ bucket size instead of n.
+  /** Banded LSH ANN: `bands` independent signatures per vector, candidates
+    * = vectors sharing at least one (band, signature) bucket with the
+    * query — multi-probe recall without shrinking buckets (a single
+    * signature's recall collapses as nPlanes grows; banding makes miss
+    * probability (1 - p^nPlanes)^bands). Returns same shape as
+    * [[bruteForceTopK]]; cost ~ bands x bucket size instead of n.
     */
   def lshTopK(
       vectors: DataFrame,
@@ -114,19 +117,22 @@ object SimilaritySearch {
       vecCol: String,
       dim: Int,
       k: Int = 10,
-      nPlanes: Int = 12): DataFrame = {
+      nPlanes: Int = 12,
+      bands: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
-    // fused single-band signature (bit-identical to lshSignature)
-    def sig(c: Column) = element_at(
-      call_function("graft_lsh_signatures", c,
-        lit(dim), lit(nPlanes), lit(1), lit(0)), 1)
-    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
-      sig(col(vecCol)).as("sig"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      sig(col(vecCol)).as("sig"))
+    def banded(df: DataFrame, id: String, idAs: String, vecAs: String) =
+      df.select(col(id).as(idAs), col(vecCol).as(vecAs),
+        posexplode(call_function("graft_lsh_signatures", col(vecCol),
+          lit(dim), lit(nPlanes), lit(bands), lit(0))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "sig")
+    val v = banded(vectors, idCol, "vec_id", "vec")
+    val q = banded(queries, idCol, "query_id", "qvec")
     val scored = v
-      .join(broadcast(q), Seq("sig"))
+      .join(broadcast(q), Seq("band", "sig"))
       .where(col("vec_id") =!= col("query_id"))
+      // a pair can collide in several bands — dedupe before scoring
+      .dropDuplicates("query_id", "vec_id")
       .withColumn("cos_sim", round(cosine(col("vec"), col("qvec")), 6))
     topKPerQuery(scored, k)
   }
