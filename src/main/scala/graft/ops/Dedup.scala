@@ -27,16 +27,6 @@ object Dedup {
     keyed.join(groups, "fp").select("id", "canonical_id", "group_size")
   }
 
-  /** Word k-shingles of a text column as array<string>. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val words = split(lower(trim(text)), "\\W+")
-    when(size(words) < k, array(concat_ws(" ", words)))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(words) - k),
-          i => concat_ws(" ", slice(words, i + 1, lit(k)))))
-  }
-
   /** MinHash signature — single-pass custom expression (see
     * graft.functions.MinHashSignatureExpr): the declarative
     * transform/array_min formulation re-runs the tokenizer inside
@@ -61,6 +51,7 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
+    graft.functions.GraftFunctions.register(df.sparkSession)
 
     val sigs = df
       .select(col(idCol).as("id"),

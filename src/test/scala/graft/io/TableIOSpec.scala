@@ -1,0 +1,59 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionTestWrapper
+
+/** TableIO commit protocol: observe()-collected manifest metrics, resume
+  * semantics, invalidation.
+  */
+class TableIOSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionTestWrapper.spark
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-tableio").toString
+
+  test("stage commit writes a manifest with observed metrics") {
+    import spark.implicits._
+    val io = new TableIO(spark, tmpDir())
+    var computed = 0
+    val df = io.stage("nums") {
+      computed += 1
+      (1 to 100).toDF("n")
+    }
+    assert(computed == 1)
+    assert(df.count() == 100)
+    val m = io.manifest("nums").get
+    assert(m.contains("\"rows\":100"), m)
+    assert(m.contains("\"files\":"), m)
+    assert(m.contains("\"bytes\":"), m)
+    assert(m.contains("\"file_bytes\""), m)
+
+    // resume: compute must NOT run again
+    val again = io.stage("nums") {
+      computed += 1
+      (1 to 5).toDF("n")
+    }
+    assert(computed == 1, "resume must not recompute a committed stage")
+    assert(again.count() == 100)
+
+    // invalidate forces recompute
+    io.invalidate("nums")
+    assert(!io.isCommitted("nums"))
+    val fresh = io.stage("nums") {
+      computed += 1
+      (1 to 5).toDF("n")
+    }
+    assert(computed == 2)
+    assert(fresh.count() == 5)
+  }
+
+  test("upstream lineage is recorded") {
+    import spark.implicits._
+    val io = new TableIO(spark, tmpDir())
+    io.stage("a") { (1 to 3).toDF("n") }
+    io.stage("b", upstream = Seq("a")) { io.read("a") }
+    val m = io.manifest("b").get
+    assert(m.contains("\"upstream\":[\"a\"]"), m)
+  }
+}
