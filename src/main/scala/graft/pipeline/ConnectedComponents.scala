@@ -26,7 +26,17 @@ object ConnectedComponents {
       spark: SparkSession,
       vertices: DataFrame,
       edges: DataFrame,
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50): DataFrame =
+    runCounted(spark, vertices, edges, maxIterations)._1
+
+  /** [[run]] plus the number of rounds executed — lets tests pin the
+    * O(log diameter) convergence property of pointer jumping.
+    */
+  def runCounted(
+      spark: SparkSession,
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxIterations: Int = 50): (DataFrame, Int) = {
     // undirected: both orientations, deduped
     val biEdges = edges
       .select(col("src"), col("dst"))
@@ -76,6 +86,6 @@ object ConnectedComponents {
       frontier = changed
       iter += 1
     }
-    labels
+    (labels, iter)
   }
 }

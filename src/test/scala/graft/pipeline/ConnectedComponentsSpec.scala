@@ -48,4 +48,17 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val got = cluster(Seq(1L, 5L, 6L, 7L), Seq((5L, 6L), (6L, 7L), (7L, 1L)))
     assert(got.values.toSet === Set(1L))
   }
+
+  test("pointer jumping converges in O(log diameter) rounds") {
+    import spark.implicits._
+    // 512-vertex path: plain propagation would need ~512 rounds
+    val n = 512L
+    val (labels, rounds) = ConnectedComponents.runCounted(
+      spark,
+      (0L until n).toDF("file_id"),
+      (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst"))
+    assert(labels.collect().map(_.getLong(1)).toSet === Set(0L))
+    // log2(512) = 9; propagation + halving + the final no-change round
+    assert(rounds <= 14, s"expected O(log d) rounds, got $rounds")
+  }
 }
