@@ -146,6 +146,28 @@ class GraftFunctionsSpec extends AnyFunSuite {
       e3.getMessage.contains("arguments"), e3.getMessage)
   }
 
+  test("GraftExtensions injects functions via spark.sql.extensions") {
+    // the extensions deployment path: no register() call — the session is
+    // built with GraftExtensions applied (spark.sql.extensions is a
+    // context-static conf, so in-suite we exercise the same class through
+    // the public programmatic builder hook over the shared context)
+    import org.apache.spark.sql.SparkSession
+    assert(spark.sparkContext.isLocal) // force shared context creation
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions()(_))
+        .getOrCreate()
+      val code = s2.sql("SELECT graft_soundex('Washington')")
+        .head().getString(0)
+      assert(code == "W252")
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
   test("expressions stay codegen-friendly (no ScalaUDF in plan)") {
     import spark.implicits._
     val df = Seq("Washington").toDF("name")
