@@ -145,7 +145,8 @@ object GraftFunctions {
       case Seq(c, d, p, b, s) => LshSignaturesExpr(c, intLit(d, "dim"),
         intLit(p, "nPlanes"), intLit(b, "bands"), intLit(s, "seedBase"))
     }, "graft_lsh_signatures(vec, dim, nPlanes, bands, seedBase) - " +
-      "array of per-band random-hyperplane LSH signatures (single pass)"),
+      "array of per-band random-hyperplane LSH signatures (single pass); " +
+      "vec must have exactly dim elements"),
     ("graft_minhash_signature", {
       case Seq(c) => MinHashSignatureExpr(c, 64, 3)
       case Seq(c, n) => MinHashSignatureExpr(c, intLit(n), 3)
@@ -166,17 +167,27 @@ object GraftFunctions {
             s"$name: invalid number of arguments (${args.length})")
       }
 
-  /** Idempotent per-session registration: already-registered functions are
-    * left untouched (no "replaced a previously registered function" log
-    * spam on repeat calls).
+  /** Registries this object has already populated, keyed on registry
+    * identity (weak, so dropped sessions can be collected). Skipping on a
+    * seen REGISTRY — not on any pre-existing binding of the name — means a
+    * stale or third-party temp function with a graft_* name gets replaced
+    * on first registration instead of silently shadowing the library.
+    */
+  private val registeredRegistries =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[AnyRef, java.lang.Boolean]())
+
+  /** Idempotent per-session registration: the first call on a session
+    * (re)binds every graft_* function; repeat calls are no-ops (no
+    * "replaced a previously registered function" log spam).
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    builders.foreach { case (name, builder, _) =>
-      if (!registry.functionExists(FunctionIdentifier(name)))
+    if (registeredRegistries.putIfAbsent(registry, java.lang.Boolean.TRUE) == null)
+      builders.foreach { case (name, builder, _) =>
         registry.createOrReplaceTempFunction(
           name, checkedBuilder(name, builder), "built-in")
-    }
+      }
   }
 
   // ---- Column API (requires register(spark) on the active session) ----

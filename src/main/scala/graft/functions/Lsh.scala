@@ -40,10 +40,20 @@ object LshFunctions {
   /** All band signatures of one vector. `isFloat` selects the element
     * accessor; accumulation is the same sequential fold as the
     * declarative `aggregate` (0.0 + x0*s0 + x1*s1 + ...).
+    *
+    * Precondition: `vec` has exactly `dim` elements. The declarative
+    * [[graft.ops.SimilaritySearch.lshSignature]] null-pads shorter vectors
+    * (projection becomes null -> all bits 0) while a silent truncation here
+    * would compute real partial projections — the bit-identity contract
+    * (and the DuckDB oracles built on it) only holds at equal lengths, so
+    * a malformed embedding fails loudly instead of diverging quietly.
     */
   def signatures(vec: ArrayData, planes: Array[Array[Double]], dim: Int,
       nPlanes: Int, isFloat: Boolean): ArrayData = {
-    val n = math.min(dim, vec.numElements())
+    val n = vec.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(
+        s"graft_lsh_signatures: vector has $n elements, expected dim=$dim")
     val xs = new Array[Double](n)
     var d = 0
     while (d < n) {

@@ -20,11 +20,17 @@ object Dedup {
     // the window would funnel every row of a hot fingerprint (e.g. the
     // empty document) through one task; the aggregate gets map-side
     // partial aggregation and the join is AQE-skew-splittable.
+    // The join is null-safe (<=>): null text fingerprints to null, and a
+    // plain equi-join would silently drop those rows — null-content docs
+    // must still dedupe against each other (EqualNullSafe is a supported
+    // equi-join key, so this stays a hash join, not a cartesian).
     val keyed = df.select(col(idCol).as("id"),
       TextAnalysis.fingerprintCol(col(textCol)).as("fp"))
     val groups = keyed.groupBy("fp")
       .agg(min("id").as("canonical_id"), count(lit(1)).as("group_size"))
-    keyed.join(groups, "fp").select("id", "canonical_id", "group_size")
+      .withColumnRenamed("fp", "group_fp")
+    keyed.join(groups, col("fp") <=> col("group_fp"))
+      .select("id", "canonical_id", "group_size")
   }
 
   /** MinHash signature — single-pass custom expression (see

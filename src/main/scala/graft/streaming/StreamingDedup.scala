@@ -21,7 +21,8 @@ import graft.ops.TextAnalysis
 object StreamingDedup {
 
   /** events(doc_id, text) -> first-seen rows only, duplicates within the
-    * watermark window dropped.
+    * watermark window dropped. Output schema equals the input schema: the
+    * internal fingerprint and ingest-timestamp columns are both dropped.
     */
   def dedupe(events: DataFrame, ttlSeconds: Long = 3600L): DataFrame =
     events
@@ -29,5 +30,5 @@ object StreamingDedup {
       .withColumn("ingest_ts", current_timestamp())
       .withWatermark("ingest_ts", s"$ttlSeconds seconds")
       .dropDuplicatesWithinWatermark("fp")
-      .drop("ingest_ts")
+      .drop("ingest_ts", "fp")
 }

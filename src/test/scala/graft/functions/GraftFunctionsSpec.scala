@@ -10,6 +10,18 @@ import graft.SparkSessionTestWrapper
 class GraftFunctionsSpec extends AnyFunSuite {
   private lazy val spark = SparkSessionTestWrapper.spark
 
+  test("register replaces a pre-existing graft_* binding on first call") {
+    // a stale or third-party temp function must not shadow the library;
+    // only repeat register() calls on an already-populated registry skip
+    val fresh = spark.newSession()
+    fresh.udf.register("graft_soundex", (s: String) => "BOGUS")
+    GraftFunctions.register(fresh)
+    import fresh.implicits._
+    val got = Seq("Washington").toDF("name")
+      .selectExpr("graft_soundex(name)").head().getString(0)
+    assert(got == "W252", s"stale binding shadowed the library: $got")
+  }
+
   test("all unary functions via SQL, incl null handling") {
     import spark.implicits._
     val df = Seq("Washington", "Smith", "müller", null).toDF("name")

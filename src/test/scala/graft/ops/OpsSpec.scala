@@ -23,6 +23,52 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == (4L, 1L))
   }
 
+  test("exact dedup keeps null-text rows and groups them together") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("real content here")),
+      (2L, Option.empty[String]),
+      (3L, Option.empty[String]),
+      (4L, Option("real content here"))).toDF("id", "text")
+    val out = Dedup.exact(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 4, "null-text rows must not vanish from the output")
+    assert(out(2L) == (2L, 2L))
+    assert(out(3L) == (2L, 2L))
+    assert(out(1L) == (1L, 2L))
+  }
+
+  test("driver-oracle assumption: no sf0.01 minhash/embedding bucket " +
+    "exceeds the cap") {
+    // the DuckDB oracles of q_minhash_dedup / q_embedding_dedup enumerate
+    // all band-equal pairs WITHOUT modelling maxBucketSize (default 1000);
+    // they only agree with the Spark queries while no bucket on the driver
+    // dataset is oversized — pinned here so a testdata change that breaks
+    // the assumption fails CI instead of producing a spurious driver
+    // mismatch.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val rows = 32 / 8
+    val maxMinhashBucket = docs
+      .select(Dedup.minhashSignature(col("text"), 32).as("sig"))
+      .select(posexplode(transform(sequence(lit(0), lit(7)),
+        b => xxhash64(concat_ws("_",
+          slice(col("sig"), b * rows + 1, lit(rows))), b.cast("string")))))
+      .groupBy("pos", "col").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxMinhashBucket <= 1000, s"minhash bucket $maxMinhashBucket")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val maxEmbBucket = emb
+      .select(posexplode(call_function("graft_lsh_signatures",
+        col("embedding"), lit(64), lit(6), lit(8), lit(0))))
+      .groupBy("pos", "col").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxEmbBucket <= 1000, s"embedding bucket $maxEmbBucket")
+  }
+
   test("minhash finds near-duplicates, skips unrelated") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and runs far " +
@@ -162,6 +208,19 @@ class SimilaritySearchSpec extends AnyFunSuite {
       }: _*)
     val rows = cmp.collect()
     assert(rows.forall(r => (0 until bands).forall(r.getBoolean)), "mismatch")
+  }
+
+  test("fused lsh signatures reject a vector whose length != dim") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, Seq.fill(16)(0.5f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      df.select(call_function("graft_lsh_signatures", $"embedding",
+        lit(32), lit(4), lit(2), lit(0))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("expected dim=32")), ex.toString)
   }
 
   test("lsh top-k returns a subset with matching signature") {

@@ -17,8 +17,10 @@ class StreamingDedupSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
 
     val input = MemoryStream[(Long, String)]
-    val deduped = StreamingDedup.dedupe(
-      input.toDS().toDF("doc_id", "text"))
+    val events = input.toDS().toDF("doc_id", "text")
+    val deduped = StreamingDedup.dedupe(events)
+    // internal fp / ingest_ts columns must not leak into the output
+    assert(deduped.schema.fieldNames.toSeq == events.schema.fieldNames.toSeq)
     val query = deduped.writeStream
       .format("memory")
       .queryName("stream_dedup")
