@@ -92,7 +92,8 @@ object SparkEntry {
     val agree = s"len(list_filter(range(1, ${numHashes + 1}), " +
       s"i -> sa[i] = sb[i]))::DOUBLE / $numHashes"
     s"""WITH docs AS (SELECT doc_id,
-       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+       |    regexp_extract_all(lower(text),
+       |      '${graft.functions.Tokens.TokenPatternRe2}') AS words
        |  FROM documents),
        |sh AS (SELECT doc_id,
        |    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
@@ -120,7 +121,8 @@ object SparkEntry {
     val assemble = (0 until n).map(b =>
       s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
     s"""WITH toks AS (SELECT doc_id,
-       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |    unnest(regexp_extract_all(lower(text),
+       |      '${graft.functions.Tokens.TokenPatternRe2}')) AS tok
        |  FROM documents),
        |hs AS (SELECT doc_id,
        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM toks),

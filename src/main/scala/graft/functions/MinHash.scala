@@ -14,9 +14,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * The spec is deliberately reproducible from plain SQL in any engine
   * with an md5 function (the driver's DuckDB oracle recomputes it):
   *
-  *  - tokens   = runs of `[a-z0-9]+` over the lowercased text
-  *  - shingles = k-word runs joined by a single space (one shingle of all
-  *               words when fewer than k)
+  *  - tokens   = the shared Unicode token spec of [[Tokens]] over the
+  *               lowercased text: Han/Hiragana/Katakana chars as
+  *               single-char tokens, other letter/digit runs as words
+  *               (DuckDB side: regexp_extract_all with
+  *               [[Tokens.TokenPatternRe2]])
+  *  - shingles = k-token runs joined by a single space (one shingle of all
+  *               tokens when fewer than k)
   *  - base(s)  = first 15 hex chars of md5(shingle) as a 60-bit integer
   *  - h_i(s)   = (a_i * base + b_i) mod (2^61 - 1), with (a_i, b_i) from
   *               splitmix64 (see [[coeffA]]/[[coeffB]])
@@ -80,24 +84,14 @@ object MinHashFunctions {
     be >>> 4
   }
 
-  /** MinHash signature of lowercased ascii-word `k`-shingles. */
+  /** MinHash signature of lowercased Unicode-token `k`-shingles (token
+    * spec: [[Tokens]]).
+    */
   def minhashSignature(u: UTF8String, numHashes: Int, k: Int): ArrayData = {
     val text = u.toString.toLowerCase(java.util.Locale.ROOT)
     val chars = text.toCharArray
-    @inline def isWordChar(c: Char): Boolean =
-      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
-    // word boundaries (runs of [a-z0-9])
-    val starts = new java.util.ArrayList[Int]()
-    val ends = new java.util.ArrayList[Int]()
-    var i = 0
-    while (i < chars.length) {
-      if (isWordChar(chars(i))) {
-        starts.add(i)
-        while (i < chars.length && isWordChar(chars(i))) i += 1
-        ends.add(i)
-      } else i += 1
-    }
-    val nWords = starts.size()
+    val spans = Tokens.tokenSpans(chars)
+    val nWords = spans.size
     val nShingles = math.max(1, nWords - k + 1)
     val (as, bs) = coeffs(numHashes)
 
@@ -110,7 +104,7 @@ object MinHashFunctions {
       val wEnd = math.min(s + k, nWords)
       while (w < wEnd) {
         if (w > s) sb.append(' ')
-        sb.append(chars, starts.get(w), ends.get(w) - starts.get(w))
+        sb.append(chars, spans.starts(w), spans.ends(w) - spans.starts(w))
         w += 1
       }
       val base = md5Base60(sb.toString)

@@ -124,15 +124,16 @@ object Dedup {
 
   /** SimHash of a text column: per-bit majority vote over md5-derived
     * token hashes, assembled declaratively (60 conditional sums — one
-    * codegen'd aggregate, no UDAF). Tokens are `[a-z0-9]+` runs of the
-    * lowercased text; token hash = first 60 bits of md5 (same spec as
+    * codegen'd aggregate, no UDAF). Tokens are the shared portable Unicode
+    * spec ([[graft.functions.Tokens]], same tokenizer as MinHash); token
+    * hash = first 60 bits of md5 (same spec as
     * [[graft.functions.MinHashFunctions]]).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val tokens = df.select(
       col(idCol).as("id"),
-      explode(regexp_extract_all(lower(col(textCol)),
-        lit("[a-z0-9]+"), lit(0))).as("tok"))
+      explode(call_function("graft_tokens", col(textCol))).as("tok"))
       .withColumn("h",
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
 

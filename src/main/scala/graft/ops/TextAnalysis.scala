@@ -12,12 +12,26 @@ object TextAnalysis {
 
   /** Tiny per-language stopword signatures for the n-gram/stopword
     * language-ID heuristic (deterministic, embedded — no external model).
+    * Signatures are plain substrings counted over the space-padded
+    * lowercased text: space-delimited for segmented scripts, bare
+    * particles/function words for unsegmented ones (ja, zh). 14 languages —
+    * the filter set a training-data pipeline actually routes on.
     */
   val StopwordSignatures: Map[String, Seq[String]] = Map(
     "en" -> Seq(" the ", " and ", " of ", " to ", " in ", " is "),
     "de" -> Seq(" der ", " die ", " und ", " das ", " ist ", " nicht "),
     "fr" -> Seq(" le ", " la ", " et ", " les ", " des ", " est "),
-    "es" -> Seq(" el ", " la ", " los ", " que ", " y ", " es "))
+    "es" -> Seq(" el ", " la ", " los ", " que ", " y ", " es "),
+    "it" -> Seq(" il ", " di ", " che ", " per ", " con ", " una "),
+    "pt" -> Seq(" o ", " em ", " que ", " uma ", " do ", " da "),
+    "nl" -> Seq(" de ", " het ", " een ", " en ", " van ", " niet "),
+    "sv" -> Seq(" och ", " att ", " det ", " som ", " en ", " är "),
+    "pl" -> Seq(" i ", " w ", " się ", " na ", " jest ", " nie "),
+    "ru" -> Seq(" и ", " в ", " не ", " на ", " что ", " это "),
+    "tr" -> Seq(" bir ", " ve ", " bu ", " için ", " çok ", " ile "),
+    "id" -> Seq(" yang ", " dan ", " di ", " ini ", " untuk ", " dengan "),
+    "ja" -> Seq("の", "は", "を", "です", "ます", "した"),
+    "zh" -> Seq("的", "是", "了", "在", "我们", "和"))
 
   /** Heuristic language ID over a text column: counts stopword-signature
     * hits per language, returns the argmax (or "und" when nothing hits).

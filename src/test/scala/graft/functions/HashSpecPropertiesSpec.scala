@@ -19,11 +19,56 @@ class HashSpecPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  /** Mixed-script codepoints incl. supplementary plane: Han (BMP + ext-B),
+    * Hiragana, Katakana, Cyrillic, Greek, Hangul, accented Latin, digits,
+    * punctuation, emoji, combining marks.
+    */
+  private val unicodeCpGen: Gen[Int] = Gen.oneOf(
+    Gen.chooseNum(0x4E00, 0x4E80), // Han
+    Gen.chooseNum(0x20000, 0x20020), // Han ext-B (supplementary)
+    Gen.chooseNum(0x3041, 0x3096), // Hiragana
+    Gen.chooseNum(0x30A1, 0x30FA), // Katakana
+    Gen.chooseNum(0x0410, 0x044F), // Cyrillic
+    Gen.chooseNum(0x0391, 0x03C9), // Greek
+    Gen.chooseNum(0xAC00, 0xAC80), // Hangul
+    Gen.oneOf('é'.toInt, 'ü'.toInt, 'ß'.toInt, 'ñ'.toInt, 'ø'.toInt),
+    Gen.chooseNum('a'.toInt, 'z'.toInt),
+    Gen.chooseNum('0'.toInt, '9'.toInt),
+    Gen.oneOf(' '.toInt, '\n'.toInt, '.'.toInt, '!'.toInt, 0x3001),
+    Gen.chooseNum(0x1F600, 0x1F610), // emoji (supplementary, non-letter)
+    Gen.oneOf(0x0301, 0x0308)) // combining marks
+
+  private val unicodeTextGen: Gen[String] =
+    Gen.listOf(unicodeCpGen).map(cps =>
+      new String(cps.take(80).flatMap(Character.toChars(_)).toArray))
+
   private val textGen: Gen[String] = Gen.oneOf(
     Gen.alphaStr.map(_.take(120)),
     Gen.asciiPrintableStr.map(_.take(120)),
     Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '), Gen.const('\n')))
-      .map(_.mkString.take(200)))
+      .map(_.mkString.take(200)),
+    unicodeTextGen)
+
+  test("unicode token scanner agrees with the regex form of the spec") {
+    val re = Tokens.TokenPatternJava.r
+    forAll(unicodeTextGen, n = 400) { s =>
+      val scanned = Tokens.tokens(s).toSeq
+      val expected =
+        re.findAllIn(s.toLowerCase(java.util.Locale.ROOT)).toSeq
+      assert(scanned == expected, s"tokens mismatch for '$s'")
+    }
+    // pinned cases: CJK chars are single tokens, other scripts word runs
+    assert(Tokens.tokens("abc漢字def 123").toSeq ==
+      Seq("abc", "漢", "字", "def", "123"))
+    assert(Tokens.tokens("русский ТЕКСТ").toSeq == Seq("русский", "текст"))
+    assert(Tokens.tokens("ひらがなカナ").toSeq ==
+      Seq("ひ", "ら", "が", "な", "カ", "ナ"))
+    assert(Tokens.tokens("한국어 텍스트").toSeq == Seq("한국어", "텍스트"))
+    assert(Tokens.tokens("!!! ...").toSeq == Seq.empty)
+    // supplementary Han ideograph (U+20000) is one single-char token
+    assert(Tokens.tokens(new String(Character.toChars(0x20000)) + "x").toSeq ==
+      Seq(new String(Character.toChars(0x20000)), "x"))
+  }
 
   test("minhash signatures: deterministic, in [0, 2^61-1), spec-faithful") {
     val m61 = MinHashFunctions.M61
@@ -35,7 +80,7 @@ class HashSpecPropertiesSpec extends AnyFunSuite {
       assert(sig1.forall(v => v >= 0 && v < m61 || v == Long.MaxValue))
 
       // independent straight-line reimplementation of the documented spec
-      val words = "[a-z0-9]+".r
+      val words = Tokens.TokenPatternJava.r
         .findAllIn(s.toLowerCase(java.util.Locale.ROOT)).toVector
       val shingles =
         if (words.length < 3) Vector(words.mkString(" "))

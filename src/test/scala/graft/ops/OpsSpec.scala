@@ -88,6 +88,43 @@ class DedupSpec extends AnyFunSuite {
     assert(!cands.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("minhash/simhash on CJK: distinct docs don't collide, near-dups do") {
+    import spark.implicits._
+    // round-2's ASCII-only tokenizer gave EVERY non-Latin document the
+    // same signature (zero words -> the single empty shingle) — a
+    // mass-false-near-dup data-loss hazard. The Unicode token spec must
+    // keep distinct CJK documents apart while still linking near-identical
+    // ones.
+    val ja1 = "春の夜の夢はうつつよりもかなしき物語を静かに読み返す"
+    val ja2 = ja1.replace("静かに", "丁寧に") // near-dup: small edit
+    val ja3 = "量子計算機は素因数分解を高速に実行できる可能性がある"
+    val ru1 = "в лесу родилась ёлочка в лесу она росла зимой и летом стройная зелёная была"
+    val ru2 = ru1.replace("стройная", "красивая")
+    val df = Seq((1L, ja1), (2L, ja2), (3L, ja3), (4L, ru1), (5L, ru2))
+      .toDF("doc_id", "text")
+    val cands = Dedup
+      .minhashCandidates(df, "doc_id", "text", numHashes = 64, bands = 32)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cands.contains((1L, 2L)) && cands((1L, 2L)) > 0.5,
+      s"near-identical Japanese docs must link: $cands")
+    assert(cands.contains((4L, 5L)) && cands((4L, 5L)) > 0.5,
+      s"near-identical Russian docs must link: $cands")
+    assert(!cands.contains((1L, 3L)) || cands((1L, 3L)) < 0.3,
+      s"distinct Japanese docs must not collide: $cands")
+    assert(!cands.keys.exists { case (a, b) =>
+      Set(a, b).intersect(Set(1L, 2L, 3L)).nonEmpty &&
+        Set(a, b).intersect(Set(4L, 5L)).nonEmpty
+    }, s"cross-script collision: $cands")
+
+    val sh = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh.size == 5, "every CJK doc must get a simhash")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) != sh(3L), "distinct Japanese docs collapsed to one simhash")
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+  }
+
   test("embedding near-dups: identical and noisy copies found, opposite not") {
     import spark.implicits._
     val dim = 16
@@ -243,19 +280,30 @@ class SimilaritySearchSpec extends AnyFunSuite {
 class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = SparkSessionTestWrapper.spark
 
-  test("language id heuristic") {
+  test("language id heuristic over all 14 signature languages") {
     import spark.implicits._
-    val df = Seq(
-      "the cat is on the mat and the dog is in the house",
-      "der Hund ist nicht in das Haus und die Katze ist da",
-      "le chat est sur la table et les enfants sont la",
-      "xyzzy plugh 12345").toDF("text")
-    val langs = df.select(TextAnalysis.langIdCol(col("text")).as("l"))
-      .collect().map(_.getString(0))
-    assert(langs(0) == "en")
-    assert(langs(1) == "de")
-    assert(langs(2) == "fr")
-    assert(langs(3) == "und")
+    val fixtures = Seq(
+      "en" -> "the cat is on the mat and the dog is in the house",
+      "de" -> "der Hund ist nicht in das Haus und die Katze ist da",
+      "fr" -> "le chat est sur la table et les enfants sont la",
+      "es" -> "el perro y el gato es que los dos corren",
+      "it" -> "il gatto che dorme per una notte con il cane",
+      "pt" -> "o gato em que uma casa do campo da cidade",
+      "nl" -> "de kat is niet in het huis en een hond van hem",
+      "sv" -> "det är en katt som springer och att den är snabb",
+      "pl" -> "kot jest w domu i nie ma się na co skarżyć",
+      "ru" -> "кошка сидит на окне и смотрит что это не птица",
+      "tr" -> "bu bir kedi ve köpek için çok güzel bir gün ile",
+      "id" -> "kucing yang tidur di rumah ini dan untuk makan dengan ikan",
+      "ja" -> "猫は窓の外を見ています犬もいました",
+      "zh" -> "我们的猫是在房子里了和狗在一起",
+      "und" -> "xyzzy plugh 12345")
+    val got = fixtures.toDF("expected", "text")
+      .select(col("expected"), TextAnalysis.langIdCol(col("text")).as("l"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (expected, l) =>
+      assert(l == expected, s"expected $expected, got $l")
+    }
   }
 
   test("token counting and quality") {
