@@ -453,15 +453,23 @@ object SparkEntry {
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
+      // the id-window (id_b - id_a <= W) is IN the equi-key, not a post-join
+      // filter: ids are bucketed by floor(id / (W+1)) and the left side is
+      // exploded to (bucket, bucket+1), so every qualifying pair matches
+      // exactly one (lang, bucket) key and the join never enumerates the
+      // O(n^2/|langs|) lang-only pairs — key cardinality scales with n.
+      val W = 5
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           substring(col("text"), 1, 200).as("snippet"))
+      val bkt = floor(col("doc_id") / (W + 1))
       val a = docs.select(col("doc_id").as("id_a"), col("lang"),
-        col("snippet").as("text_a"))
+        col("snippet").as("text_a"),
+        explode(array(bkt, bkt + 1)).as("bucket"))
       val b = docs.select(col("doc_id").as("id_b"), col("lang"),
-        col("snippet").as("text_b"))
-      a.join(b, "lang")
-        .where(col("id_a") < col("id_b") && (col("id_b") - col("id_a")) <= 5)
+        col("snippet").as("text_b"), bkt.as("bucket"))
+      a.join(b, Seq("lang", "bucket"))
+        .where(col("id_a") < col("id_b") && (col("id_b") - col("id_a")) <= W)
         .select(col("id_a"), col("id_b"),
           Dedup.ngramJaccard(col("text_a"), col("text_b")).as("jaccard"))
     }),

@@ -97,6 +97,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
   }
 
+  test("ngram-jaccard joins on (lang, id-bucket), not lang alone") {
+    val p = plan(SparkEntry.queries("q_ngram_jaccard")(spark, sfDir))
+    // equi-join nodes print as 'XJoin [leftKeys], [rightKeys], type, ...';
+    // the plan may sit under an AdaptiveSparkPlan wrapper, so match the
+    // string form. The equi-key must include the id bucket (cardinality
+    // ~ n/6), so the 5-value lang key alone never drives pair enumeration.
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin [") || l.contains("ShuffledHashJoin [") ||
+        l.contains("BroadcastHashJoin [")).toSeq
+    assert(joinLines.nonEmpty, p)
+    assert(joinLines.forall(l => l.contains("lang#") && l.contains("bucket#")),
+      joinLines.mkString("\n"))
+  }
+
   test("dedup ops have no per-key windows (skew-safe shapes)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "a b c d")).toDF("doc_id", "text")
