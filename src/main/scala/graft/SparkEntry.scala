@@ -236,7 +236,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     reg(spark)
     val files = RepoFiles.generate(spark, nFiles = 500, seed = 42L)
-    val tokens = Tokenizer.pruneCommon(Tokenizer.tokenize(files))
+    val tokens =
+      Tokenizer.pruneCommon(Tokenizer.tokenize(files), knownFileCount = 500)
     val keys = Blocking.blockingKeys(tokens)
     val pairs = Blocking.candidatePairs(keys)
     val edges = Scoring.edges(Scoring.score(pairs))
@@ -535,7 +536,8 @@ object SparkEntry {
     "q_linkage_clusters" -> ((s, dir) => {
       reg(s)
       val files = RepoFiles.generate(s, nFiles = 1000, seed = 42L)
-      val tokens = Tokenizer.pruneCommon(Tokenizer.tokenize(files))
+      val tokens =
+        Tokenizer.pruneCommon(Tokenizer.tokenize(files), knownFileCount = 1000)
       val keys = Blocking.blockingKeys(tokens)
       val pairs = Blocking.candidatePairs(keys)
       val edges = Scoring.edges(Scoring.score(pairs))

@@ -108,6 +108,16 @@ final class TableIO(spark: SparkSession, root: String) {
     fs.delete(stageDir(stage), true)
   }
 
+  /** Committed row count from the stage manifest — lineage metadata
+    * recorded during the write, so downstream stages that need a
+    * cardinality (e.g. document-frequency caps) read a number instead of
+    * launching a count job over committed data.
+    */
+  def committedRows(stage: String): Option[Long] =
+    manifest(stage).flatMap { m =>
+      "\"rows\":(\\d+)".r.findFirstMatchIn(m).map(_.group(1).toLong)
+    }
+
   def manifest(stage: String): Option[String] =
     if (isCommitted(stage)) {
       val in = fs.open(manifestPath(stage))

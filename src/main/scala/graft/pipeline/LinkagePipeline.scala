@@ -36,7 +36,10 @@ final class LinkagePipeline(
     }
 
     val tokens = io.stage("tokens", upstream = Seq("input")) {
-      Tokenizer.pruneCommon(Tokenizer.tokenize(input))
+      // file count comes from the input stage's commit manifest — lineage
+      // metadata recorded during the write, so no extra count job here
+      Tokenizer.pruneCommon(Tokenizer.tokenize(input),
+        knownFileCount = io.committedRows("input").getOrElse(-1L))
     }
 
     val keys = io.stage("blocking_keys", upstream = Seq("tokens")) {

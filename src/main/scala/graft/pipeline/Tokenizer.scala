@@ -47,19 +47,30 @@ object Tokenizer {
     * signal and would otherwise chain unrelated records into one giant
     * cluster. Scale path: only the (tiny) common-token head is broadcast;
     * the token stream itself is never collected or re-shuffled.
+    *
+    * Pass `knownFileCount` whenever the producer already knows it (the
+    * TableIO manifest records it; generators know their size): the cap is
+    * then a plan-time literal. Without it the file count is computed
+    * LAZILY inside the same plan (1-row aggregate broadcast-joined onto
+    * the token DF stats) — never an eager `count()` job at DAG-construction
+    * time, which at 100 TB would be a full extra scan before stage 1.
     */
   def pruneCommon(tokens: DataFrame, maxDfFraction: Double = 0.05,
       knownFileCount: Long = -1L): DataFrame = {
-    val nFiles =
-      if (knownFileCount > 0) knownFileCount
-      else tokens.select("file_id").distinct().count()
-    val cap = math.max(1L, (nFiles * maxDfFraction).toLong)
     // tokens are distinct per file, so count = document frequency
-    val common = tokens
-      .groupBy("token")
-      .agg(count(lit(1)).as("df"))
-      .where(col("df") > cap)
-      .select("token")
-    tokens.join(broadcast(common), Seq("token"), "left_anti")
+    val dfCounts = tokens.groupBy("token").agg(count(lit(1)).as("df"))
+    val common =
+      if (knownFileCount > 0) {
+        val cap = math.max(1L, (knownFileCount * maxDfFraction).toLong)
+        dfCounts.where(col("df") > cap)
+      } else {
+        val nFiles = tokens.select(
+          approx_count_distinct("file_id").as("n_files"))
+        dfCounts
+          .join(broadcast(nFiles))
+          .where(col("df") >
+            greatest(lit(1L), floor(col("n_files") * maxDfFraction)))
+      }
+    tokens.join(broadcast(common.select("token")), Seq("token"), "left_anti")
   }
 }

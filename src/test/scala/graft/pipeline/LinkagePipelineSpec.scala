@@ -135,6 +135,44 @@ class LinkagePipelineSpec extends AnyFunSuite {
     resolved.unpersist()
   }
 
+  test("pruneCommon launches no job at DAG-construction time") {
+    import spark.implicits._
+    val jobStarts = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobStarts.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Thread.sleep(300) // settle events from earlier tests
+      val before = jobStarts.get()
+      val tokens = (1L to 100L).flatMap(i =>
+        Seq((i, s"alpha$i"), (i, "common"))).toDF("file_id", "token")
+      // no knownFileCount: the round-2 implementation ran an eager
+      // distinct().count() right here — a full extra scan per run at 100 TB
+      val pruned = Tokenizer.pruneCommon(tokens)
+      Thread.sleep(500) // any eager job would have fired (count() blocks)
+      assert(jobStarts.get() == before,
+        "pruneCommon launched a Spark job during DAG construction")
+      // ... and the lazy fallback still prunes the Zipf head correctly
+      val out = pruned.select("token").distinct().collect().map(_.getString(0))
+      assert(!out.contains("common"))
+      assert(out.length == 100)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("pruneCommon with a known file count matches the lazy fallback") {
+    import spark.implicits._
+    val tokens = (1L to 50L).flatMap(i =>
+      Seq((i, s"tok$i"), (i, "everywhere"))).toDF("file_id", "token")
+    val withCount = Tokenizer.pruneCommon(tokens, knownFileCount = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val lazyPath = Tokenizer.pruneCommon(tokens)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(withCount == lazyPath)
+  }
+
   test("resume: second run reuses committed checkpoints") {
     val dir = tmpDir("graft-resume")
     val files = RepoFiles.generate(spark, nFiles = 200, seed = 7L)
