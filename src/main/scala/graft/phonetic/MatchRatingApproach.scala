@@ -147,6 +147,21 @@ object MatchRatingApproach extends PhoneticEncoder {
     leftRightRating(name1, name2) >= minRating
   }
 
+  /** [[isEncodedEquals]] with pre-computed MRA codes: identical semantics
+    * (raw-string guards first, then length guard, rating threshold on the
+    * codes) but zero encode work — the streaming linkage state caches each
+    * member's code so a comparison never re-encodes.
+    */
+  def isEncodedEqualsCoded(first: String, firstCode: String,
+      second: String, secondCode: String): Boolean = {
+    if (first.trim.isEmpty || second.trim.isEmpty) return false
+    if (trimmedLenIsOne(first) || trimmedLenIsOne(second)) return false
+    if (first == second) return true
+    if (math.abs(firstCode.length - secondCode.length) >= 3) return false
+    leftRightRating(firstCode, secondCode) >=
+      minimumRating(firstCode.length + secondCode.length)
+  }
+
   /** (rating, isMatch) with shared encodes — one pass for both features.
     * Semantics identical to [[rating]] + [[isEncodedEquals]]: guard
     * failures rate -1 and never match; identical raw strings always match

@@ -71,4 +71,17 @@ object Scoring {
         graft.phonetic.Metaphone.unbounded.encode(b) ||
       (graft.phonetic.MatchRatingApproach.isEncodedEquals(a, b) &&
         graft.phonetic.JaroWinkler.similarity(a, b) >= MraJwGate)
+
+  /** [[clusterMatch]] with pre-computed unbounded-Metaphone and MRA codes
+    * — identical decision, zero encode work. The streaming linkage state
+    * stores each member's codes and each arrival's codes are computed once
+    * in the (codegen'd) key projection, so a comparison is string
+    * equality + rating + Jaro-Winkler only.
+    */
+  def clusterMatchCoded(a: String, aMeta: String, aMra: String,
+      b: String, bMeta: String, bMra: String): Boolean =
+    a == b || aMeta == bMeta ||
+      (graft.phonetic.MatchRatingApproach
+        .isEncodedEqualsCoded(a, aMra, b, bMra) &&
+        graft.phonetic.JaroWinkler.similarity(a, b) >= MraJwGate)
 }

@@ -4,7 +4,14 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 final case class TokenEvent(file_id: Long, token: String)
-final case class BlockMember(file_id: Long, token: String)
+
+/** A block's remembered member: raw token plus its unbounded-Metaphone and
+  * MRA codes, cached at arrival time so matching a future arrival against
+  * this member never re-encodes (the codes are computed ONCE per key row,
+  * in the codegen'd projection — not O(state members) times per event).
+  */
+final case class BlockMember(file_id: Long, token: String,
+    metaphone: String, mra: String)
 final case class BlockState(members: Seq[BlockMember])
 final case class MatchEdge(src: Long, dst: Long, key: String)
 
@@ -46,11 +53,17 @@ object StreamingLinkage {
     import org.apache.spark.sql.functions.current_timestamp
     graft.functions.GraftFunctions.register(spark)
 
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    // phonetic codes computed ONCE per key row inside the codegen'd
+    // projection — the state function below only compares cached codes
     val keys = graft.pipeline.Blocking
       .blockingKeys(events.toDF())
+      .withColumn("metaphone",
+        call_function("graft_metaphone", col("token"), lit(0)))
+      .withColumn("mra", call_function("graft_mra_encode", col("token")))
       .withColumn("ts", current_timestamp())
       .withWatermark("ts", "0 seconds")
-      .as[(Long, String, String, java.sql.Timestamp)]
+      .as[(Long, String, String, String, String, java.sql.Timestamp)]
 
     val ttlMs = stateTtl.toMillis
 
@@ -58,7 +71,8 @@ object StreamingLinkage {
       .groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
-        (key: String, rows: Iterator[(Long, String, String, java.sql.Timestamp)],
+        (key: String,
+            rows: Iterator[(Long, String, String, String, String, java.sql.Timestamp)],
             state: GroupState[BlockState]) => {
           if (state.hasTimedOut) {
             // idle block: evict its member list entirely
@@ -69,18 +83,19 @@ object StreamingLinkage {
               state.getOption.map(_.members.toVector).getOrElse(Vector.empty)
             val out = Vector.newBuilder[MatchEdge]
             var maxTs = 0L
-            rows.foreach { case (id, token, _, ts) =>
+            rows.foreach { case (id, token, _, meta, mra, ts) =>
               if (ts.getTime > maxTs) maxTs = ts.getTime
               members.foreach { m =>
                 if (m.file_id != id &&
-                    graft.pipeline.Scoring.clusterMatch(m.token, token)) {
+                    graft.pipeline.Scoring.clusterMatchCoded(
+                      m.token, m.metaphone, m.mra, token, meta, mra)) {
                   out += MatchEdge(
                     math.min(id, m.file_id), math.max(id, m.file_id), key)
                 }
               }
               if (members.size < maxBlockSize &&
                   !members.exists(_.file_id == id)) {
-                members = members :+ BlockMember(id, token)
+                members = members :+ BlockMember(id, token, meta, mra)
               }
             }
             state.update(BlockState(members))

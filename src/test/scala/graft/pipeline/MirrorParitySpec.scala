@@ -59,6 +59,22 @@ class MirrorParitySpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.take(5).mkString("\n"))
   }
 
+  test("clusterMatchCoded with cached codes == clusterMatch on every fixture pair") {
+    import graft.phonetic.{MatchRatingApproach, Metaphone}
+    val names = (NameFixtures.families.flatten ++
+      NameFixtures.mraPositives.flatMap(p => Seq(p._1, p._2)) ++
+      NameFixtures.negatives.flatMap(p => Seq(p._1, p._2)) ++
+      Seq("", " ", "a", "é", "smith")).distinct
+    // cached-code form (what the streaming state stores) must decide
+    // exactly like the encode-per-call form for every fixture pair
+    val coded = names.map(n =>
+      (n, Metaphone.unbounded.encode(n), MatchRatingApproach.encode(n)))
+    for ((a, am, ar) <- coded; (b, bm, br) <- coded) {
+      assert(Scoring.clusterMatchCoded(a, am, ar, b, bm, br) ==
+        Scoring.clusterMatch(a, b), s"($a, $b)")
+    }
+  }
+
   test("synthetic entities: variants code-equal within, metaphone-distinct across") {
     import graft.phonetic.{Metaphone, Soundex}
     val bases = (41L until 241L).map(RepoFiles.synthBase)

@@ -50,4 +50,82 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(query.lastProgress.stateOperators.nonEmpty)
     } finally query.stop()
   }
+
+  test("near-dup pair links across micro-batches; unrelated doc does not") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep green forest while nobody watches it"
+    val near = base.replace("quick", "fast") // small edit, not exact-dup
+    val other = "completely different content about database systems and " +
+      "distributed query engines processing large volumes of data daily"
+
+    val input = MemoryStream[(Long, String)]
+    val links = StreamingDedup.nearDupCandidates(
+      input.toDS().toDF("doc_id", "text"))
+    val query = links.writeStream
+      .format("memory")
+      .queryName("stream_neardup")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData((1L, base), (2L, other))
+      query.processAllAvailable()
+      assert(spark.table("stream_neardup").isEmpty,
+        "unrelated batch-1 docs must not link")
+
+      // the near-dup arrives a batch later and must link to batch-1 doc 1
+      input.addData((3L, near))
+      query.processAllAvailable()
+      val pairs = spark.table("stream_neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(pairs.contains((1L, 3L)), pairs.mkString(","))
+      assert(pairs((1L, 3L)) > 0.5)
+      assert(!pairs.keys.exists { case (a, b) => a == 2L || b == 2L },
+        s"unrelated doc linked: $pairs")
+    } finally query.stop()
+  }
+
+  test("near-dup bucket state is evicted by the watermark-driven TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val input = MemoryStream[(Long, String)]
+    val links = StreamingDedup.nearDupCandidates(
+      input.toDS().toDF("doc_id", "text"),
+      stateTtl = java.time.Duration.ofMillis(1))
+    val query = links.writeStream
+      .format("memory")
+      .queryName("stream_neardup_ttl")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData((1L, base))
+      query.processAllAvailable()
+      val stateAfter1 = query.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateAfter1 > 0, "batch 1 must create bucket state")
+
+      Thread.sleep(50)
+      input.addData((9L, "unrelated words entirely here nothing shared"))
+      query.processAllAvailable()
+      input.addData((10L, "another filler document to advance the watermark"))
+      query.processAllAvailable()
+      val stateAfterTtl = query.lastProgress.stateOperators(0).numRowsTotal
+      // every doc lands in exactly 8 band buckets; without eviction the
+      // three batches would accumulate ~3x8 bucket rows — with the TTL the
+      // lapsed batches' buckets must have been dropped along the way
+      assert(stateAfterTtl < 3 * stateAfter1,
+        s"no TTL eviction: $stateAfter1 -> $stateAfterTtl")
+
+      // a near-identical doc arriving after eviction no longer links to 1L
+      input.addData((11L, base.replace("alpha", "aleph")))
+      query.processAllAvailable()
+      val pairs = spark.table("stream_neardup_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!pairs.contains((1L, 11L)), pairs.mkString(","))
+    } finally query.stop()
+  }
 }
