@@ -211,17 +211,19 @@ object SparkEntry {
     Goldens.valuesSql(Seq("cluster_id", "cluster_size", "n_families"), rows)
   }
 
-  /** Determinism-pin oracle for `q_multimodal_features`: the decode step
-    * is a documented stub (no media libraries in this container), so the
-    * expected values are recomputed driver-side from the SAME pure
-    * functions ([[Multimodal.syntheticRow]]/[[Multimodal.decodeStub]]) —
-    * pinning that the distributed mapPartitions path reproduces the
-    * scalar path row-for-row.
+  /** Determinism-pin oracle for `q_multimodal_features`: image rows are
+    * REAL PNGs decoded with the JDK's ImageIO (dimensions + luminance
+    * histogram of actual pixels); audio/video decode is a documented stub
+    * (no media codecs in this container). Expected values are recomputed
+    * driver-side from the SAME pure functions
+    * ([[Multimodal.syntheticRow]]/[[Multimodal.decode]]) — pinning that
+    * the distributed mapPartitions path reproduces the scalar path
+    * row-for-row, including a genuine executor-side image decode.
     */
   private def multimodalOracleSql: String = {
     val rows = (0L until 500L).map { i =>
       val (id, kind, _, _, _, _, payload) = Multimodal.syntheticRow(i, 42L)
-      val sum = Multimodal.decodeStub(payload, 16)
+      val sum = Multimodal.decode(kind, payload, 16)
         .foldLeft(0.0)((acc, x) => acc + x)
       val rounded = BigDecimal(sum)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -341,6 +341,33 @@ class MultimodalSpec extends AnyFunSuite {
       .forall { case (a, b) => a == b })
   }
 
+  test("image payloads are real PNGs; decode recovers actual dimensions") {
+    import spark.implicits._
+    // scalar: decode(encode(pixels)) recovers the metadata dims
+    val (_, kind, mime, w, h, _, payload) = Multimodal.syntheticRow(0L, 42L)
+    assert(kind == "image" && mime == "image/png")
+    assert(payload.take(8).sameElements(
+      Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n').map(_.toByte)),
+      "payload must be an actual PNG stream")
+    val feats = Multimodal.decodeImage(payload, 16)
+    assert(feats(0) == w.get.toFloat && feats(1) == h.get.toFloat)
+    // histogram mass sums to ~1 (one vote per decoded pixel)
+    assert(math.abs(feats.drop(2).sum - 1.0f) < 1e-3)
+
+    // distributed: the mapPartitions path decodes every image row to the
+    // same features as the scalar path
+    val media = Multimodal.synthesize(spark, 30)
+    val images = Multimodal.extractFeatures(media, featureDim = 16)
+      .where(col("kind") === "image")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(images.nonEmpty)
+    images.foreach { case (id, got) =>
+      val (_, k, _, _, _, _, p) = Multimodal.syntheticRow(id, 42L)
+      assert(k == "image")
+      assert(got == Multimodal.decodeImage(p, 16).toSeq, s"media $id")
+    }
+  }
+
   test("frame sampling explodes video rows") {
     val media = Multimodal.synthesize(spark, 30)
     val frames = Multimodal.sampleFrames(media, everyMs = 10000L)
