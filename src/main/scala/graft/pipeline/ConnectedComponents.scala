@@ -16,27 +16,41 @@ import org.apache.spark.sql.functions._
   * Propagation alone needs O(diameter) rounds; with halving the loop
   * converges in O(log diameter) — the property that matters when
   * sorted-neighborhood chains make long thin components at 10^12 rows.
-  * Each round localCheckpoints to cut lineage so plans don't grow; a driver
-  * restart resumes from the last pipeline-stage checkpoint (TableIO).
+  * Each round localCheckpoints to cut lineage so plans don't grow.
+  *
+  * Restart story, two tiers: by default a driver restart resumes from the
+  * last pipeline-stage checkpoint (TableIO) and replays the whole loop —
+  * localCheckpoint blocks live in executor memory, so a lost executor
+  * mid-loop also forces that replay. Passing `durable` writes a
+  * (labels + frontier) snapshot through TableIO every k rounds and resumes
+  * the LOOP from the newest committed snapshot, making the 10^12-row run
+  * restartable mid-closure; completed runs clean their snapshots up.
   */
 object ConnectedComponents {
+
+  private def snapshotStage(i: Int): String = s"cc_round_$i"
 
   /** edges(src, dst) + vertices(file_id) -> (file_id, cluster_id). */
   def run(
       spark: SparkSession,
       vertices: DataFrame,
       edges: DataFrame,
-      maxIterations: Int = 50): DataFrame =
-    runCounted(spark, vertices, edges, maxIterations)._1
+      maxIterations: Int = 50,
+      durable: Option[(graft.io.TableIO, Int)] = None): DataFrame =
+    runCounted(spark, vertices, edges, maxIterations, durable)._1
 
   /** [[run]] plus the number of rounds executed — lets tests pin the
     * O(log diameter) convergence property of pointer jumping.
+    *
+    * @param durable optional (TableIO, k): commit a durable loop snapshot
+    *   every k rounds and resume from the newest committed one.
     */
   def runCounted(
       spark: SparkSession,
       vertices: DataFrame,
       edges: DataFrame,
-      maxIterations: Int = 50): (DataFrame, Int) = {
+      maxIterations: Int = 50,
+      durable: Option[(graft.io.TableIO, Int)] = None): (DataFrame, Int) = {
     // undirected: both orientations, deduped
     val biEdges = edges
       .select(col("src"), col("dst"))
@@ -50,6 +64,19 @@ object ConnectedComponents {
 
     var frontier = labels
     var iter = 0
+
+    // resume the loop from the newest committed durable snapshot
+    durable.foreach { case (io, _) =>
+      (1 to maxIterations).filter(i => io.isCommitted(snapshotStage(i)))
+        .lastOption.foreach { i =>
+          val snap = io.read(snapshotStage(i))
+          labels = snap.select("file_id", "cluster_id")
+          frontier = snap.where(col("in_frontier"))
+            .select("file_id", "cluster_id")
+          iter = i
+        }
+    }
+
     var done = false
     while (!done && iter < maxIterations) {
       // 1. frontier labels flow to neighbors (big edges x small frontier)
@@ -85,6 +112,35 @@ object ConnectedComponents {
       labels = next
       frontier = changed
       iter += 1
+
+      // durable snapshot every k rounds: labels + frontier membership in
+      // one committed stage (atomic rename). Reading labels/frontier back
+      // from the committed store both cuts lineage to DISK (not executor
+      // memory) and makes this round bit-identical to a restarted one.
+      durable.foreach { case (io, k) =>
+        if (!done && iter % k == 0) {
+          val snap = io.stage(snapshotStage(iter)) {
+            next.join(
+              changed.select(col("file_id"), lit(true).as("in_frontier")),
+              Seq("file_id"), "left")
+              .select(col("file_id"), col("cluster_id"),
+                coalesce(col("in_frontier"), lit(false)).as("in_frontier"))
+          }
+          labels = snap.select("file_id", "cluster_id")
+          frontier = snap.where(col("in_frontier"))
+            .select("file_id", "cluster_id")
+          // older snapshots are superseded — drop them so storage stays
+          // bounded at one snapshot regardless of round count
+          (1 until iter).foreach(i =>
+            if (io.isCommitted(snapshotStage(i)))
+              io.invalidate(snapshotStage(i)))
+        }
+      }
+    }
+    // completed: loop snapshots are scratch state, not results — clean up
+    if (done) durable.foreach { case (io, _) =>
+      (1 to maxIterations).foreach(i =>
+        if (io.isCommitted(snapshotStage(i))) io.invalidate(snapshotStage(i)))
     }
     (labels, iter)
   }

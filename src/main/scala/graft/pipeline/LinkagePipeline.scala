@@ -59,10 +59,13 @@ final class LinkagePipeline(
     }
 
     val clusters = io.stage("clusters", upstream = Seq("edges", "input")) {
+      // durable loop snapshots every 8 rounds: a mid-closure kill resumes
+      // the loop from the newest snapshot instead of replaying all rounds
       ConnectedComponents.run(
         spark,
         input.select("file_id"),
-        edges)
+        edges,
+        durable = Some((io, 8)))
     }
 
     io.stage("resolved", upstream = Seq("clusters", "input")) {
