@@ -151,6 +151,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = buildSession(cpus)
 
+    // untimed warmup: wake descheduled vCPUs and absorb first-query costs
+    // (codegen infrastructure, parquet footer reads, JIT of the hot Spark
+    // paths) so the first TIMED query measures the query, not the JVM —
+    // round-2's q1_agg carried ~2.5s of one-time warmup in its number
+    warmCpus(cpus.toInt)
+    SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    SparkEntry.queries("q_join_agg")(spark, sfDir).count()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
@@ -178,6 +186,7 @@ object Bench {
         s""""encoder_rows_per_sec":$encThroughput,""" +
         s""""scoring_pairs_per_sec":$scThroughput,""" +
         s""""bm_rows_per_sec":$bmTp,"cpus":$cpus,""" +
+        s""""warmup":"untimed q1_agg+q_join_agg before the loop",""" +
         s""""sf":"$sfDir"}""")
     spark.stop()
   }

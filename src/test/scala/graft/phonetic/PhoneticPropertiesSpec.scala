@@ -51,6 +51,55 @@ class PhoneticPropertiesSpec extends AnyFunSuite {
     "mra" -> MatchRatingApproach.encode,
     "daitch_mokotoff" -> DaitchMokotoff.default.encode)
 
+  /** Arbitrary Unicode incl. supplementary-plane codepoints, combining
+    * marks, controls, and casing special-cases — the totality domain.
+    */
+  private val unicodeGen: Gen[String] = {
+    val anyCp = Gen.chooseNum(0x20, 0x10FFFF)
+      .retryUntil(cp => !(cp >= 0xD800 && cp <= 0xDFFF), 100)
+    val cp = Gen.oneOf(
+      anyCp,
+      Gen.chooseNum(0x0300, 0x036F), // combining marks
+      Gen.chooseNum(0x1D400, 0x1D4FF), // math alphanumerics (non-BMP letters)
+      Gen.chooseNum(0x1F300, 0x1F6FF), // emoji
+      Gen.chooseNum(0x20000, 0x2A6DF), // Han ext-B
+      Gen.oneOf(0x0130, 0x0131, 0x03C2, 0xFB01, 0x200D, 0xFEFF, 0x0000,
+        0x0009, 0x00DF, 0x1E9E), // İ ı ς ﬁ zwj bom nul tab ß ẞ
+      Gen.chooseNum('A'.toInt, 'z'.toInt))
+    Gen.listOf(cp).map(cps =>
+      new String(cps.take(24).flatMap(Character.toChars(_)).toArray))
+  }
+
+  test("every encoder is total and deterministic on arbitrary Unicode") {
+    // the repo deliberately diverges from the reference's panics (e.g.
+    // Soundex on unmapped chars): every encoder must return a value — not
+    // throw — on ANY string, including supplementary-plane codepoints and
+    // combining marks. This pins that totality contract.
+    val bm = graft.phonetic.bm.BeiderMorse.default
+    forAll(unicodeGen, n = 400) { s =>
+      encoders.foreach { case (name, enc) =>
+        val out =
+          try enc(s)
+          catch {
+            case e: Throwable =>
+              fail(s"$name threw on '${s.map(c => f"\\u${c.toInt}%04x").mkString}': $e")
+          }
+        assert(out == enc(s), s"$name not deterministic on '$s'")
+      }
+      assert(bm.encode(s) == bm.encode(s))
+      assert(graft.phonetic.bm.BeiderMorse.guessLanguages(s,
+        graft.phonetic.bm.NameType.Generic) ==
+        graft.phonetic.bm.BeiderMorse.guessLanguages(s,
+          graft.phonetic.bm.NameType.Generic))
+      // comparators are total too
+      MatchRatingApproach.isEncodedEquals(s, s.reverse)
+      JaroWinkler.similarity(s, s.reverse)
+      Soundex.default.difference(s, s.reverse)
+      RefinedSoundex.default.difference(s, s.reverse)
+      DoubleMetaphone.default.isDoubleMetaphoneEqual(s, s.reverse, alternate = false)
+    }
+  }
+
   test("every encoder is deterministic and total") {
     forAll(nameGen) { s =>
       encoders.foreach { case (name, enc) =>
