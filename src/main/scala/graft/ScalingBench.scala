@@ -157,15 +157,14 @@ object ScalingBench {
         f"rows_per_sec=${(nFiles / secs).toLong}")
       return
     }
-    // steadyRdd runs warm + 3 timed reps per measurement; sizes chosen so
-    // 3 paired rounds x 2 levels still fit one invocation's wall clock
-    val encRows = 4000000L
-    val scoreRows = 4000000L
-    // sized so steady-state compute dominates fixed per-session costs
-    // (config parse, codegen JIT) at BOTH parallelism levels: the pure
-    // encoder sustains ~600k rows/s at 16 threads, so 3M rows is ~5s of
-    // real work at the high level
-    val bmRows = 2000000L
+    // steadyRdd runs warm + 3 timed reps per measurement; sized so
+    // steady-state compute dominates fixed per-session costs (config
+    // parse, codegen JIT) at BOTH parallelism levels — the round-2 report
+    // showed 4M-row scans read ~0.05 lower efficiency than 8M purely from
+    // fixed-cost amortization
+    val encRows = 8000000L
+    val scoreRows = 8000000L
+    val bmRows = 3000000L
 
     val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
 

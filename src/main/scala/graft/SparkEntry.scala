@@ -496,8 +496,9 @@ object SparkEntry {
         dim = 64, nPlanes = 6, bands = 8, minCosine = 0.3)
     }),
     "q_langid" -> ((s, dir) => {
+      reg(s)
       t(s, dir, "documents")
-        .groupBy(TextAnalysis.langIdCol(col("text")).as("lang_guess"))
+        .groupBy(TextAnalysis.langIdFastCol(col("text")).as("lang_guess"))
         .agg(count(lit(1)).as("cnt"))
     }),
     "q_quality" -> ((s, dir) => {

@@ -147,6 +147,9 @@ object GraftFunctions {
     }, "graft_lsh_signatures(vec, dim, nPlanes, bands, seedBase) - " +
       "array of per-band random-hyperplane LSH signatures (single pass); " +
       "vec must have exactly dim elements"),
+    ("graft_langid", { case Seq(c) => LangIdExpr(c) },
+      "graft_langid(text) - stopword-signature language ID (single-pass " +
+        "form of TextAnalysis.langIdCol)"),
     ("graft_tokens", { case Seq(c) => TokensExpr(c) },
       "graft_tokens(text) - portable Unicode tokens (CJK chars single, " +
         "other letter/digit runs as words) of the lowercased text"),

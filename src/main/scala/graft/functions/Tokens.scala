@@ -130,6 +130,26 @@ object Tokens {
       tokens(u.toString).map(UTF8String.fromString(_): Any))
 }
 
+/** graft_langid(text) -> language code: single-expression form of
+  * [[graft.ops.TextAnalysis.langIdCol]] (bit-identical — parity-pinned in
+  * OpsSpec). One lowercase pass + intrinsified substring scans per row
+  * instead of |langs| x |signatures| regex splits.
+  */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.ops.TextAnalysis.langIdUtf8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextAnalysis.langIdUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_langid"
+}
+
 /** graft_tokens(text) -> array<string> of the portable Unicode token spec
   * ([[Tokens]]): the one tokenizer MinHash, SimHash and any token-level op
   * share, so batch, streaming and the DuckDB oracle cannot drift.

@@ -33,8 +33,54 @@ object TextAnalysis {
     "ja" -> Seq("の", "は", "を", "です", "ます", "した"),
     "zh" -> Seq("的", "是", "了", "在", "我们", "和"))
 
+  /** Scalar mirror of [[langIdCol]] — one lowercase pass + intrinsified
+    * `String.indexOf` per signature, instead of 84 regex-split + array
+    * allocations per row. Exactly the declarative semantics: hits = count
+    * of NON-overlapping signature occurrences in the space-padded
+    * lowercased text (what `size(split(...)) - 1` counts), winner = max
+    * (hits, lang) lexicographically, "und" when nothing hits.
+    */
+  def langIdOf(text: String): String = {
+    val padded = new java.lang.StringBuilder(text.length + 2)
+      .append(' ').append(text.toLowerCase(java.util.Locale.ROOT))
+      .append(' ').toString
+    var bestHits = 0
+    var bestLang = ""
+    var li = 0
+    while (li < SortedSignatures.length) {
+      val (lang, words) = SortedSignatures(li)
+      var hits = 0
+      var wi = 0
+      while (wi < words.length) {
+        val w = words(wi)
+        var i = padded.indexOf(w)
+        while (i >= 0) {
+          hits += 1
+          i = padded.indexOf(w, i + w.length)
+        }
+        wi += 1
+      }
+      if (hits > bestHits || (hits == bestHits && lang.compareTo(bestLang) > 0)) {
+        bestHits = hits
+        bestLang = lang
+      }
+      li += 1
+    }
+    if (bestHits > 0) bestLang else "und"
+  }
+
+  /** UTF8String entry point for the Catalyst expression's codegen. */
+  def langIdUtf8(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(langIdOf(u.toString))
+
+  private val SortedSignatures: Array[(String, Array[String])] =
+    StopwordSignatures.toSeq.sortBy(_._1)
+      .map { case (l, ws) => (l, ws.toArray) }.toArray
+
   /** Heuristic language ID over a text column: counts stopword-signature
     * hits per language, returns the argmax (or "und" when nothing hits).
+    * This is the declarative reference form; [[langIdFastCol]] is the
+    * codegen'd single-expression equivalent used on the hot path.
     */
   def langIdCol(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
@@ -49,6 +95,15 @@ object TextAnalysis {
     val best = greatest(scores: _*)
     when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
   }
+
+  /** Codegen'd single-expression language ID (requires
+    * `GraftFunctions.register`): one lowercase pass + intrinsified
+    * substring scans instead of |langs| x |signatures| regex splits —
+    * bit-identical to [[langIdCol]] (parity-pinned in the spec), ~10x
+    * cheaper per row, the form a 100-TB language-routing pass wants.
+    */
+  def langIdFastCol(text: Column): Column =
+    call_function("graft_langid", text)
 
   /** Quality features: char length, token count, punctuation ratio,
     * uppercase ratio, mean token length, and a composite [0,1] score.

@@ -79,38 +79,41 @@ object ConnectedComponents {
 
     var done = false
     while (!done && iter < maxIterations) {
-      // 1. frontier labels flow to neighbors (big edges x small frontier)
-      val msgs = biEdges
+      // 1. frontier labels flow to neighbors (big edges x small frontier),
+      // combined map-side per neighbor before joining back
+      val msgMin = biEdges
         .join(frontier, biEdges("src") === frontier("file_id"))
         .select(biEdges("dst").as("file_id"), col("cluster_id"))
-        // fresh attribute ids: msgs shares lineage with labels (round 1),
-        // and Union constraint propagation chokes on duplicate expr ids
+        // fresh attribute ids: shares lineage with labels (round 1), and
+        // self-join attribute resolution chokes on duplicate expr ids
         .toDF("file_id", "cluster_id")
+        .groupBy("file_id")
+        .agg(min("cluster_id").as("msg_cid"))
 
+      // candidate label carries the OLD label in-row, so change detection
+      // below is a column compare — not the extra 1:1 join-vs-old-labels
+      // per round that the first implementation paid
       val candidate = labels
         .toDF("file_id", "cluster_id")
-        .union(msgs)
-        .groupBy("file_id")
-        .agg(min("cluster_id").as("cluster_id"))
+        .join(msgMin, Seq("file_id"), "left")
+        .select(col("file_id"), col("cluster_id").as("old_cid"),
+          least(col("cluster_id"),
+            coalesce(col("msg_cid"), col("cluster_id"))).as("cand_cid"))
 
       // 2. pointer jumping: take the label of my label's vertex
       val parents = candidate
-        .select(col("file_id").as("p_id"), col("cluster_id").as("p_cid"))
-      val jumped = candidate.as("c")
-        .join(parents, col("c.cluster_id") === col("p_id"), "left")
+        .select(col("file_id").as("p_id"), col("cand_cid").as("p_cid"))
+      val next = candidate.as("c")
+        .join(parents, col("c.cand_cid") === col("p_id"), "left")
         .select(col("c.file_id"),
-          coalesce(col("p_cid"), col("c.cluster_id")).as("cluster_id"))
+          coalesce(col("p_cid"), col("c.cand_cid")).as("cluster_id"),
+          (coalesce(col("p_cid"), col("c.cand_cid")) =!= col("c.old_cid"))
+            .as("changed"))
+        .localCheckpoint() // ONE materialization per round
 
-      val next = jumped.localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.withColumnRenamed("cluster_id", "old_cid"), "file_id")
-        .where(col("cluster_id") =!= col("old_cid"))
-        .select(col("file_id"), col("cluster_id"))
-        .localCheckpoint()
-
-      done = changed.isEmpty
-      labels = next
-      frontier = changed
+      done = next.where(col("changed")).isEmpty // cheap scan of the checkpoint
+      labels = next.select("file_id", "cluster_id")
+      frontier = next.where(col("changed")).select("file_id", "cluster_id")
       iter += 1
 
       // durable snapshot every k rounds: labels + frontier membership in
@@ -120,11 +123,8 @@ object ConnectedComponents {
       durable.foreach { case (io, k) =>
         if (!done && iter % k == 0) {
           val snap = io.stage(snapshotStage(iter)) {
-            next.join(
-              changed.select(col("file_id"), lit(true).as("in_frontier")),
-              Seq("file_id"), "left")
-              .select(col("file_id"), col("cluster_id"),
-                coalesce(col("in_frontier"), lit(false)).as("in_frontier"))
+            next.select(col("file_id"), col("cluster_id"),
+              col("changed").as("in_frontier"))
           }
           labels = snap.select("file_id", "cluster_id")
           frontier = snap.where(col("in_frontier"))

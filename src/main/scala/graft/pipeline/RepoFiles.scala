@@ -42,20 +42,31 @@ object RepoFiles {
   private val SynthVowels = "aeiou"
 
   /** Alternating consonant-vowel base name of a synthesized entity: the
-    * six consonants are the base-9 digits of the scrambled entity id
-    * (9^6 = 531k code space — Metaphone-injective up to hash
-    * collisions), vowels are hash-random filler the encoders ignore.
+    * consonants are the base-9 digits of a BIJECTIVELY scrambled entity
+    * id (affine map by a unit mod 9^d), vowels are hash-random filler the
+    * encoders ignore. Injective by construction — entities NEVER share a
+    * consonant sequence, so cross-entity Metaphone codes are distinct.
+    * (The earlier hash-then-mod scramble had ~900 birthday collisions at
+    * 32k entities in the 9^6 space; every one was a false metaphone_eq
+    * cluster merge at the 800k-file scale.) Name length grows with the
+    * entity count: 6 consonant digits below 9^6 entities, then +2 digits
+    * per 81x — injective through 9^12 ≈ 2.8e11 entities (a 7e12-file
+    * corpus at 25 files/entity).
     */
   private[pipeline] def synthBase(entityId: Long): String = {
-    val h = scrambleBits(entityId * 0xC2B2AE3D27D4EB4FL + 17)
-    var code = java.lang.Long.remainderUnsigned(h, 531441L) // 9^6
-    var hv = scrambleBits(h + 99)
-    val sb = new StringBuilder(11)
+    var digits = 6
+    var space = 531441L // 9^6
+    while (entityId >= space && digits < 12) { digits += 2; space *= 81L }
+    // affine bijection: 362867 is not divisible by 3, hence a unit mod 9^d
+    var code = java.lang.Long.remainderUnsigned(
+      entityId * 362867L + 54321L, space)
+    var hv = scrambleBits(scrambleBits(entityId * 0xC2B2AE3D27D4EB4FL + 17) + 99)
+    val sb = new StringBuilder(2 * digits - 1)
     var i = 0
-    while (i < 6) {
+    while (i < digits) {
       sb.append(SynthConsonants((code % 9).toInt))
       code /= 9
-      if (i < 5) {
+      if (i < digits - 1) {
         hv = scrambleBits(hv + i)
         sb.append(SynthVowels((((hv >>> 8) & 0x7FFFFFFF) % 5).toInt))
       }

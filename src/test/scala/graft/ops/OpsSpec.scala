@@ -306,6 +306,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_langid is bit-identical to the declarative langIdCol") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // fixture sentences + driver documents + adversarial strings (ties,
+    // empty, repeated signatures, mixed scripts)
+    val texts = Seq(
+      "", " ", "the the the", " la la la ", "der le el the и の 的",
+      "a b c", "xyzzy", "ist nicht der die das und است این",
+      "el que los y es la " * 3, "yang dan di ini untuk dengan",
+      "我们的猫是在了和", "のははをですます", " e è il di che per con una ") ++
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("text").collect().map(_.getString(0)).toSeq
+    val df = texts.toDF("text")
+    val mismatches = df.select(
+      TextAnalysis.langIdCol(col("text")).as("slow"),
+      TextAnalysis.langIdFastCol(col("text")).as("fast"),
+      col("text"))
+      .where(col("slow") =!= col("fast"))
+      .collect()
+    assert(mismatches.isEmpty,
+      mismatches.take(5).map(_.toString).mkString("\n"))
+  }
+
   test("token counting and quality") {
     import spark.implicits._
     val df = Seq((1L, "one two  three"), (2L, "x")).toDF("doc_id", "text")

@@ -91,9 +91,14 @@ class MirrorParitySpec extends AnyFunSuite {
         assert(!Tokenizer.StopWords.contains(v), v)
       }
     }
-    // across entities: base names are metaphone-distinct (consonant
-    // digits encode the scrambled entity id)
-    val codes = bases.map(Metaphone.unbounded.encode)
-    assert(codes.distinct.size == codes.size)
+    // across entities: base names are metaphone-distinct BY CONSTRUCTION
+    // (bijective consonant-digit code) — checked over a 50k-entity span
+    // and across the 6->8-digit tier boundary, where the earlier hashed
+    // code space had ~900 birthday collisions
+    val wide = ((41L until 50041L) ++
+      (531400L until 531500L)).map(RepoFiles.synthBase)
+    val wideCodes = wide.map(Metaphone.unbounded.encode)
+    assert(wideCodes.distinct.size == wideCodes.size,
+      "cross-entity metaphone collision in synthBase")
   }
 }
