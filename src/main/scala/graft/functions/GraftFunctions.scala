@@ -186,14 +186,24 @@ object GraftFunctions {
   /** Idempotent per-session registration: the first call on a session
     * (re)binds every graft_* function; repeat calls are no-ops (no
     * "replaced a previously registered function" log spam).
+    *
+    * The whole check-and-bind runs under the map's lock and the registry is
+    * marked registered only AFTER every function is bound, so a concurrent
+    * second `register()` cannot return while the first is still mid-way
+    * through the builders loop (which would let that thread's next
+    * `call_function` fail with an undefined-function error).
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (registeredRegistries.putIfAbsent(registry, java.lang.Boolean.TRUE) == null)
-      builders.foreach { case (name, builder, _) =>
-        registry.createOrReplaceTempFunction(
-          name, checkedBuilder(name, builder), "built-in")
+    registeredRegistries.synchronized {
+      if (!registeredRegistries.containsKey(registry)) {
+        builders.foreach { case (name, builder, _) =>
+          registry.createOrReplaceTempFunction(
+            name, checkedBuilder(name, builder), "built-in")
+        }
+        registeredRegistries.put(registry, java.lang.Boolean.TRUE)
       }
+    }
   }
 
   // ---- Column API (requires register(spark) on the active session) ----

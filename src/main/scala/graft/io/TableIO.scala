@@ -118,6 +118,17 @@ final class TableIO(spark: SparkSession, root: String) {
       "\"rows\":(\\d+)".r.findFirstMatchIn(m).map(_.group(1).toLong)
     }
 
+  /** Commit timestamp from the stage manifest — distinct per commit, so it
+    * doubles as a cheap input-lineage token: downstream durable state (e.g.
+    * connected-components loop snapshots) stamps itself with the upstream
+    * stage's `committedAt` and refuses to resume if the upstream has been
+    * recomputed since.
+    */
+  def committedAt(stage: String): Option[String] =
+    manifest(stage).flatMap { m =>
+      "\"committed_at\":\"([^\"]+)\"".r.findFirstMatchIn(m).map(_.group(1))
+    }
+
   def manifest(stage: String): Option[String] =
     if (isCommitted(stage)) {
       val in = fs.open(manifestPath(stage))

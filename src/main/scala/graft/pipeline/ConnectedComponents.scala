@@ -30,27 +30,44 @@ object ConnectedComponents {
 
   private def snapshotStage(i: Int): String = s"cc_round_$i"
 
+  /** The lineage token recorded in a committed loop snapshot's manifest
+    * (stored as an `upstream` entry `"lineage:<token>"`).
+    */
+  private def recordedToken(io: graft.io.TableIO, stage: String): String =
+    io.manifest(stage).flatMap { m =>
+      "lineage:([^\"\\\\]*)".r.findFirstMatchIn(m).map(_.group(1))
+    }.getOrElse("")
+
   /** edges(src, dst) + vertices(file_id) -> (file_id, cluster_id). */
   def run(
       spark: SparkSession,
       vertices: DataFrame,
       edges: DataFrame,
       maxIterations: Int = 50,
-      durable: Option[(graft.io.TableIO, Int)] = None): DataFrame =
-    runCounted(spark, vertices, edges, maxIterations, durable)._1
+      durable: Option[(graft.io.TableIO, Int)] = None,
+      lineageToken: String = ""): DataFrame =
+    runCounted(spark, vertices, edges, maxIterations, durable,
+      lineageToken)._1
 
   /** [[run]] plus the number of rounds executed — lets tests pin the
     * O(log diameter) convergence property of pointer jumping.
     *
     * @param durable optional (TableIO, k): commit a durable loop snapshot
     *   every k rounds and resume from the newest committed one.
+    * @param lineageToken fingerprint of the INPUT graph (e.g. the edges
+    *   stage manifest's `committedAt`). Snapshots are stamped with it;
+    *   a snapshot whose stamp differs from the current token was computed
+    *   against a different graph (upstream recomputed, or a shared TableIO
+    *   root reused with new data) and is discarded instead of resumed —
+    *   resuming it would silently restore labels from the old graph.
     */
   def runCounted(
       spark: SparkSession,
       vertices: DataFrame,
       edges: DataFrame,
       maxIterations: Int = 50,
-      durable: Option[(graft.io.TableIO, Int)] = None): (DataFrame, Int) = {
+      durable: Option[(graft.io.TableIO, Int)] = None,
+      lineageToken: String = ""): (DataFrame, Int) = {
     // undirected: both orientations, deduped
     val biEdges = edges
       .select(col("src"), col("dst"))
@@ -65,16 +82,24 @@ object ConnectedComponents {
     var frontier = labels
     var iter = 0
 
-    // resume the loop from the newest committed durable snapshot
+    // resume the loop from the newest committed durable snapshot — but
+    // only if it was computed against THIS graph (lineage stamp matches);
+    // stale snapshots (upstream recomputed under the same root) are
+    // invalidated and the loop starts from round 0
     durable.foreach { case (io, _) =>
-      (1 to maxIterations).filter(i => io.isCommitted(snapshotStage(i)))
-        .lastOption.foreach { i =>
+      val committed =
+        (1 to maxIterations).filter(i => io.isCommitted(snapshotStage(i)))
+      committed.lastOption.foreach { i =>
+        if (recordedToken(io, snapshotStage(i)) == lineageToken) {
           val snap = io.read(snapshotStage(i))
           labels = snap.select("file_id", "cluster_id")
           frontier = snap.where(col("in_frontier"))
             .select("file_id", "cluster_id")
           iter = i
+        } else {
+          committed.foreach(j => io.invalidate(snapshotStage(j)))
         }
+      }
     }
 
     var done = false
@@ -100,8 +125,16 @@ object ConnectedComponents {
           least(col("cluster_id"),
             coalesce(col("msg_cid"), col("cluster_id"))).as("cand_cid"))
 
-      // 2. pointer jumping: take the label of my label's vertex
+      // 2. pointer jumping: take the label of my label's vertex.
+      // Parents side carries ONLY non-root vertices (cand_cid < file_id):
+      // labels never increase (candidate = min of own id and messages), so
+      // a root parent would contribute p_cid == p_id == the child's
+      // cand_cid — identical to the join miss the coalesce below already
+      // handles. Exact-equivalent output, and the jump join stops
+      // shuffling the (large, growing-as-we-converge) root fraction of
+      // the vertex set every round.
       val parents = candidate
+        .where(col("cand_cid") =!= col("file_id"))
         .select(col("file_id").as("p_id"), col("cand_cid").as("p_cid"))
       val next = candidate.as("c")
         .join(parents, col("c.cand_cid") === col("p_id"), "left")
@@ -122,7 +155,8 @@ object ConnectedComponents {
       // memory) and makes this round bit-identical to a restarted one.
       durable.foreach { case (io, k) =>
         if (!done && iter % k == 0) {
-          val snap = io.stage(snapshotStage(iter)) {
+          val snap = io.stage(snapshotStage(iter),
+            upstream = Seq(s"lineage:$lineageToken")) {
             next.select(col("file_id"), col("cluster_id"),
               col("changed").as("in_frontier"))
           }

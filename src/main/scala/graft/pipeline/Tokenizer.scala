@@ -51,9 +51,12 @@ object Tokenizer {
     * Pass `knownFileCount` whenever the producer already knows it (the
     * TableIO manifest records it; generators know their size): the cap is
     * then a plan-time literal. Without it the file count is computed
-    * LAZILY inside the same plan (1-row aggregate broadcast-joined onto
-    * the token DF stats) — never an eager `count()` job at DAG-construction
-    * time, which at 100 TB would be a full extra scan before stage 1.
+    * LAZILY inside the same plan (1-row EXACT `count_distinct` aggregate
+    * broadcast-joined onto the token DF stats) — never an eager `count()`
+    * job at DAG-construction time, which at 100 TB would be a full extra
+    * scan before stage 1. Exact, not approx: tokens whose document
+    * frequency sits at the cap boundary must not flip pruned/kept between
+    * the literal and lazy paths.
     */
   def pruneCommon(tokens: DataFrame, maxDfFraction: Double = 0.05,
       knownFileCount: Long = -1L): DataFrame = {
@@ -65,7 +68,7 @@ object Tokenizer {
         dfCounts.where(col("df") > cap)
       } else {
         val nFiles = tokens.select(
-          approx_count_distinct("file_id").as("n_files"))
+          count_distinct(col("file_id")).as("n_files"))
         dfCounts
           .join(broadcast(nFiles))
           .where(col("df") >

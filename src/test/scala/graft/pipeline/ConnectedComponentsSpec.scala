@@ -86,6 +86,34 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       "completed run must remove its loop snapshots")
   }
 
+  test("stale snapshots (lineage-token mismatch) are discarded, not resumed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-lin").toString
+    val io = new graft.io.TableIO(spark, dir)
+
+    // first run against graph A: one big path; killed mid-loop so a
+    // committed round-4 snapshot (stamped "graph-A") remains on disk
+    val n = 512L
+    val verticesA = (0L until n).toDF("file_id")
+    val edgesA = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    ConnectedComponents.runCounted(spark, verticesA, edgesA,
+      maxIterations = 4, durable = Some((io, 2)), lineageToken = "graph-A")
+    assert(io.isCommitted("cc_round_4"))
+
+    // second run against graph B under the SAME root: two components.
+    // Resuming graph A's labels would merge everything into cluster 0 —
+    // the stale snapshot must be discarded instead.
+    val verticesB = (0L until 8L).toDF("file_id")
+    val edgesB = Seq((0L, 1L), (1L, 2L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val (labels, _) = ConnectedComponents.runCounted(spark, verticesB, edgesB,
+      durable = Some((io, 2)), lineageToken = "graph-B")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+    assert((1 to 50).forall(i => !io.isCommitted(s"cc_round_$i")),
+      "completed run must remove its loop snapshots")
+  }
+
   test("pointer jumping converges in O(log diameter) rounds") {
     import spark.implicits._
     // 512-vertex path: plain propagation would need ~512 rounds
