@@ -73,6 +73,30 @@ object SparkEntry {
        |  FROM scores) GROUP BY 1""".stripMargin
   }
 
+  /** Per-document (guess, hits) langid oracle with the confidence floor:
+    * hits below `minHits` route to 'und', the raw hit count is kept.
+    */
+  private def langIdScoredOracleSql(minHits: Int): String = {
+    val sigs = TextAnalysis.StopwordSignatures.toSeq.sortBy(_._1)
+    val scoreCols = sigs.map { case (lang, words) =>
+      words.map(w => s"(len(string_split(p, ${Goldens.sqlStr(w)}))-1)")
+        .mkString(" + ") + s" AS $lang"
+    }
+    val langs = sigs.map(_._1)
+    val g = s"greatest(${langs.mkString(",")})"
+    val cases = langs.sorted.reverse.dropRight(1)
+      .map(l => s"WHEN $l = $g THEN '$l'").mkString(" ")
+    val fallback = langs.sorted.head
+    s"""WITH padded AS (
+       |  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+       |scores AS (SELECT doc_id, ${scoreCols.mkString(",\n  ")} FROM padded)
+       |SELECT doc_id,
+       |  CASE WHEN $g < $minHits THEN 'und' $cases
+       |    ELSE '$fallback' END AS lang_guess,
+       |  $g AS lang_hits
+       |FROM scores""".stripMargin
+  }
+
   /** DuckDB MinHash oracle: recomputes the portable md5-based spec of
     * [[graft.functions.MinHashFunctions]] (same tokens, shingles, base
     * hash and (a,b) coefficients) over all pairs, then applies the same
@@ -501,6 +525,15 @@ object SparkEntry {
         .groupBy(TextAnalysis.langIdFastCol(col("text")).as("lang_guess"))
         .agg(count(lit(1)).as("cnt"))
     }),
+    "q_langid_scored" -> ((s, dir) => {
+      reg(s)
+      // confidence floor 2: a single stopword hit is noise at corpus scale
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.langIdScoredFastCol(col("text"), minHits = 2).as("s"))
+        .select(col("doc_id"), col("s.lang").as("lang_guess"),
+          col("s.hits").as("lang_hits"))
+    }),
     "q_quality" -> ((s, dir) => {
       TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
         .select("doc_id", "n_chars", "n_tokens", "punct_ratio",
@@ -699,6 +732,7 @@ object SparkEntry {
         |    AS quality_score
         |FROM f""".stripMargin,
     "q_langid" -> langIdOracleSql,
+    "q_langid_scored" -> langIdScoredOracleSql(minHits = 2),
     "q_minhash_dedup" -> minhashOracleSql,
     "q_simhash" -> simhashOracleSql,
     "q_ann_lsh" -> annLshOracleSql,

@@ -147,9 +147,17 @@ object GraftFunctions {
     }, "graft_lsh_signatures(vec, dim, nPlanes, bands, seedBase) - " +
       "array of per-band random-hyperplane LSH signatures (single pass); " +
       "vec must have exactly dim elements"),
-    ("graft_langid", { case Seq(c) => LangIdExpr(c) },
-      "graft_langid(text) - stopword-signature language ID (single-pass " +
-        "form of TextAnalysis.langIdCol)"),
+    ("graft_langid", {
+      case Seq(c) => LangIdExpr(c)
+      case Seq(c, m) => LangIdExpr(c, intLit(m, "minHits"))
+    }, "graft_langid(text[, minHits]) - stopword-signature language ID " +
+      "(single-pass form of TextAnalysis.langIdCol); guesses with fewer " +
+      "than minHits signature hits map to 'und'"),
+    ("graft_langid_scored", {
+      case Seq(c) => LangIdScoredExpr(c)
+      case Seq(c, m) => LangIdScoredExpr(c, intLit(m, "minHits"))
+    }, "graft_langid_scored(text[, minHits]) - struct(lang, hits): floored " +
+      "language guess plus raw best-signature hit count"),
     ("graft_tokens", { case Seq(c) => TokensExpr(c) },
       "graft_tokens(text) - portable Unicode tokens (CJK chars single, " +
         "other letter/digit runs as words) of the lowercased text"),

@@ -38,9 +38,10 @@ object TextAnalysis {
     * allocations per row. Exactly the declarative semantics: hits = count
     * of NON-overlapping signature occurrences in the space-padded
     * lowercased text (what `size(split(...)) - 1` counts), winner = max
-    * (hits, lang) lexicographically, "und" when nothing hits.
+    * (hits, lang) lexicographically. Returns (bestHits, bestLang);
+    * bestLang is meaningful only when bestHits > 0.
     */
-  def langIdOf(text: String): String = {
+  def bestSignature(text: String): (Int, String) = {
     val padded = new java.lang.StringBuilder(text.length + 2)
       .append(' ').append(text.toLowerCase(java.util.Locale.ROOT))
       .append(' ').toString
@@ -66,23 +67,47 @@ object TextAnalysis {
       }
       li += 1
     }
-    if (bestHits > 0) bestLang else "und"
+    (bestHits, bestLang)
+  }
+
+  /** Winner language, or "und" when the hit count is below `minHits` —
+    * the confidence floor: at corpus scale a single stopword hit routing a
+    * document to a language is noise, so routing passes raise the floor.
+    */
+  def langIdOf(text: String, minHits: Int = 1): String = {
+    val (hits, lang) = bestSignature(text)
+    if (hits >= math.max(1, minHits)) lang else "und"
   }
 
   /** UTF8String entry point for the Catalyst expression's codegen. */
-  def langIdUtf8(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
-    org.apache.spark.unsafe.types.UTF8String.fromString(langIdOf(u.toString))
+  def langIdUtf8(
+      u: org.apache.spark.unsafe.types.UTF8String,
+      minHits: Int): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      langIdOf(u.toString, minHits))
+
+  /** struct(lang, hits) entry point for [[graft.functions.LangIdScoredExpr]]
+    * codegen: the floored guess plus the raw best-signature hit count, so a
+    * routing pass can both filter on confidence and keep the evidence.
+    */
+  def langIdScored(
+      u: org.apache.spark.unsafe.types.UTF8String,
+      minHits: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val (hits, lang) = bestSignature(u.toString)
+    val guess = if (hits >= math.max(1, minHits)) lang else "und"
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(guess),
+        hits))
+  }
 
   private val SortedSignatures: Array[(String, Array[String])] =
     StopwordSignatures.toSeq.sortBy(_._1)
       .map { case (l, ws) => (l, ws.toArray) }.toArray
 
-  /** Heuristic language ID over a text column: counts stopword-signature
-    * hits per language, returns the argmax (or "und" when nothing hits).
-    * This is the declarative reference form; [[langIdFastCol]] is the
-    * codegen'd single-expression equivalent used on the hot path.
+  /** Best (hits, lang) struct under the signature spec — declarative
+    * reference form shared by [[langIdCol]] and [[langIdScoredCol]].
     */
-  def langIdCol(text: Column): Column = {
+  private def bestSignatureCol(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
     val scores = StopwordSignatures.toSeq.sortBy(_._1).map {
       case (lang, words) =>
@@ -92,8 +117,30 @@ object TextAnalysis {
           .reduce(_ + _)
         struct(hits.cast("int").as("hits"), lit(lang).as("lang"))
     }
-    val best = greatest(scores: _*)
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+    greatest(scores: _*)
+  }
+
+  /** Heuristic language ID over a text column: counts stopword-signature
+    * hits per language, returns the argmax (or "und" when the hit count is
+    * under `minHits`). This is the declarative reference form;
+    * [[langIdFastCol]] is the codegen'd single-expression equivalent used
+    * on the hot path.
+    */
+  def langIdCol(text: Column, minHits: Int = 1): Column = {
+    val best = bestSignatureCol(text)
+    when(best.getField("hits") >= math.max(1, minHits),
+      best.getField("lang")).otherwise("und")
+  }
+
+  /** struct(lang, hits): the floored guess plus its raw hit count —
+    * declarative mirror of [[graft.functions.LangIdScoredExpr]].
+    */
+  def langIdScoredCol(text: Column, minHits: Int = 1): Column = {
+    val best = bestSignatureCol(text)
+    struct(
+      when(best.getField("hits") >= math.max(1, minHits),
+        best.getField("lang")).otherwise("und").as("lang"),
+      best.getField("hits").as("hits"))
   }
 
   /** Codegen'd single-expression language ID (requires
@@ -102,8 +149,12 @@ object TextAnalysis {
     * bit-identical to [[langIdCol]] (parity-pinned in the spec), ~10x
     * cheaper per row, the form a 100-TB language-routing pass wants.
     */
-  def langIdFastCol(text: Column): Column =
-    call_function("graft_langid", text)
+  def langIdFastCol(text: Column, minHits: Int = 1): Column =
+    call_function("graft_langid", text, lit(minHits))
+
+  /** Codegen'd struct(lang, hits) — fast form of [[langIdScoredCol]]. */
+  def langIdScoredFastCol(text: Column, minHits: Int = 1): Column =
+    call_function("graft_langid_scored", text, lit(minHits))
 
   /** Quality features: char length, token count, punctuation ratio,
     * uppercase ratio, mean token length, and a composite [0,1] score.

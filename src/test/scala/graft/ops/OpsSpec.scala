@@ -327,6 +327,45 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect()
     assert(mismatches.isEmpty,
       mismatches.take(5).map(_.toString).mkString("\n"))
+    // scored struct parity too: floored guess and raw hit count
+    val scoredMismatch = df.select(
+      TextAnalysis.langIdScoredCol(col("text"), minHits = 2).as("slow"),
+      TextAnalysis.langIdScoredFastCol(col("text"), minHits = 2).as("fast"))
+      .where(col("slow.lang") =!= col("fast.lang") ||
+        col("slow.hits") =!= col("fast.hits"))
+      .collect()
+    assert(scoredMismatch.isEmpty,
+      scoredMismatch.take(5).map(_.toString).mkString("\n"))
+  }
+
+  test("langid confidence floor: low-hit and ambiguous docs route to und") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // (text, expected lang at floor=1, expected lang at floor=2, hits)
+    val fixtures = Seq(
+      // single stopword hit: a guess at floor 1, noise ("und") at floor 2
+      ("the quick brown fox", "en", "und", 1),
+      // " la " ties fr and es at one hit; greater lang wins the tie (fr)
+      ("la niebla", "fr", "und", 1),
+      // two hits survive the floor
+      ("the cat and dog", "en", "en", 2),
+      // zero hits: und at every floor, hits preserved as 0
+      ("xyzzy plugh 12345", "und", "und", 0),
+      ("", "und", "und", 0),
+      // strong signal (der x2, ist, nicht, und, die) unaffected by floor
+      ("der hund ist nicht in der küche und die katze", "de", "de", 6))
+    val got = fixtures.map(_._1).toDF("text")
+      .select(col("text"),
+        TextAnalysis.langIdFastCol(col("text"), minHits = 1).as("l1"),
+        TextAnalysis.langIdScoredFastCol(col("text"), minHits = 2).as("s2"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1),
+        r.getStruct(2).getString(0), r.getStruct(2).getInt(1)))).toMap
+    fixtures.foreach { case (text, l1, l2, hits) =>
+      val (g1, g2, h) = got(text)
+      assert(g1 == l1, s"floor=1 on '$text': expected $l1, got $g1")
+      assert(g2 == l2, s"floor=2 on '$text': expected $l2, got $g2")
+      assert(h == hits, s"hits on '$text': expected $hits, got $h")
+    }
   }
 
   test("token counting and quality") {
