@@ -237,8 +237,10 @@ object SparkEntry {
 
   /** Determinism-pin oracle for `q_multimodal_features`: image rows are
     * REAL PNGs decoded with the JDK's ImageIO (dimensions + luminance
-    * histogram of actual pixels); audio/video decode is a documented stub
-    * (no media codecs in this container). Expected values are recomputed
+    * histogram of actual pixels); audio rows are REAL PCM WAVs decoded
+    * with the JDK's javax.sound.sampled (sample count, RMS, Goertzel
+    * band energies); only video decode is a documented stub (no video
+    * codec in the JDK or this container). Expected values are recomputed
     * driver-side from the SAME pure functions
     * ([[Multimodal.syntheticRow]]/[[Multimodal.decode]]) — pinning that
     * the distributed mapPartitions path reproduces the scalar path

@@ -9,8 +9,12 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: payloads are actual PNGs and [[decodeImage]]
   * decodes them with the JDK's `javax.imageio` (no external dependency) —
-  * dimensions + a luminance histogram from the decoded pixels. Audio/video
-  * decode remains STUBBED (no media codecs ship in this container):
+  * dimensions + a luminance histogram from the decoded pixels. AUDIO
+  * decode is REAL too: payloads are actual PCM WAV streams and
+  * [[decodeAudio]] decodes them with the JDK's `javax.sound.sampled`
+  * (zero external codecs for PCM WAV) — sample count, RMS, and Goertzel
+  * spectral-band energies of the decoded samples. Only VIDEO decode
+  * remains STUBBED (no video codec ships in the JDK or this container):
   * [[decodeStub]] derives a deterministic fake feature vector from the
   * bytes. Everything Spark-side — schema, batch iteration, partition
   * sizing, output shape — is real either way, so swapping the remaining
@@ -48,10 +52,41 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** A real 16-bit mono PCM WAV (RIFF/WAVE via `AudioSystem.write`) of a
+    * deterministic two-sine-plus-noise waveform — what a repo's audio
+    * blobs look like to the pipeline, without any external data.
+    */
+  def syntheticWav(
+      rnd: scala.util.Random, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val f1 = 100.0 + rnd.nextInt(3000)
+    val f2 = 100.0 + rnd.nextInt(3000)
+    val data = new Array[Byte](nSamples * 2)
+    var t = 0
+    while (t < nSamples) {
+      val v = 0.5 * math.sin(2 * math.Pi * f1 * t / sampleRate) +
+        0.25 * math.sin(2 * math.Pi * f2 * t / sampleRate) +
+        0.1 * (rnd.nextDouble() * 2 - 1)
+      val s = math.max(-32768L, math.min(32767L, math.round(v * 20000))).toInt
+      data(2 * t) = (s & 0xFF).toByte // little-endian PCM
+      data(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Pure per-row generator shared by the distributed path and the
     * driver-side oracle (determinism pin for the mapPartitions plumbing).
     * Image rows carry a REAL decodable PNG whose metadata matches its
-    * actual dimensions; audio/video rows carry opaque pseudo-random bytes.
+    * actual dimensions; audio rows a REAL decodable PCM WAV whose
+    * duration_ms matches its sample count; video rows opaque
+    * pseudo-random bytes (the one remaining stub).
     */
   def syntheticRow(i: Long, seed: Long): (Long, String, String,
       Option[Int], Option[Int], Option[Long], Array[Byte]) = {
@@ -61,11 +96,16 @@ object Multimodal {
       val w = 4 + rnd.nextInt(13)
       val h = 4 + rnd.nextInt(13)
       (i, kind, "image/png", Some(w), Some(h), None, syntheticPng(rnd, w, h))
+    } else if (kind == "audio") {
+      val rate = 8000
+      val n = 400 + rnd.nextInt(1200)
+      (i, kind, "audio/wav", None, None, Some(n * 1000L / rate),
+        syntheticWav(rnd, n, rate))
     } else {
       val payload = new Array[Byte](256 + rnd.nextInt(256))
       rnd.nextBytes(payload)
-      (i, kind, if (kind == "audio") "audio/wav" else "video/mp4",
-        None, None, Some(1000L + rnd.nextInt(60000)), payload)
+      (i, kind, "video/mp4", None, None, Some(1000L + rnd.nextInt(60000)),
+        payload)
     }
   }
 
@@ -80,8 +120,9 @@ object Multimodal {
         "payload")
   }
 
-  /** STUB decoder: a real implementation would decode the payload with an
-    * image/audio library here. This fake derives a deterministic
+  /** STUB decoder (VIDEO only — images and audio have real decoders
+    * above/below): a real implementation would decode the payload with a
+    * codec library here. This fake derives a deterministic
     * `featureDim`-float vector from the payload bytes so the distributed
     * plumbing (batching, shuffle, schema) is exercised end-to-end.
     */
@@ -129,9 +170,71 @@ object Multimodal {
     out
   }
 
-  /** Per-kind decode dispatch: real ImageIO for images, stub otherwise. */
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (PCM WAV needs
+    * no external codec): feature vector = [sample count, RMS, Goertzel
+    * amplitude in `featureDim - 2` equal-width frequency bands spanning
+    * 0..Nyquist]. Pure function of the decoded samples, so oracle-side
+    * decode(encode(samples)) agrees regardless of WAV container details.
+    */
+  def decodeAudio(payload: Array[Byte], featureDim: Int): Array[Float] = {
+    require(featureDim >= 3, s"featureDim $featureDim < 3")
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      require(
+        fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unsupported audio format: $fmt (16-bit signed mono PCM only)")
+      val bytes = in.readAllBytes()
+      val big = fmt.isBigEndian
+      val n = bytes.length / 2
+      val out = new Array[Float](featureDim)
+      out(0) = n.toFloat
+      if (n == 0) return out
+      val samples = new Array[Double](n)
+      var sumSq = 0.0
+      var i = 0
+      while (i < n) {
+        val s =
+          if (big) ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF)).toShort
+          else ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toShort
+        val v = s / 32768.0
+        samples(i) = v
+        sumSq += v * v
+        i += 1
+      }
+      out(1) = math.sqrt(sumSq / n).toFloat
+      val nBands = featureDim - 2
+      var b = 0
+      while (b < nBands) {
+        // Goertzel at the band-center normalized frequency
+        val w = math.Pi * (b + 0.5) / nBands
+        val coeff = 2.0 * math.cos(w)
+        var s1 = 0.0
+        var s2 = 0.0
+        var t = 0
+        while (t < n) {
+          val s0 = samples(t) + coeff * s1 - s2
+          s2 = s1
+          s1 = s0
+          t += 1
+        }
+        val power = s1 * s1 + s2 * s2 - coeff * s1 * s2
+        out(2 + b) = (math.sqrt(math.max(0.0, power)) / n).toFloat
+        b += 1
+      }
+      out
+    } finally in.close()
+  }
+
+  /** Per-kind decode dispatch: real ImageIO for images, real
+    * javax.sound.sampled for audio, stub for video.
+    */
   def decode(kind: String, payload: Array[Byte], featureDim: Int): Array[Float] =
     if (kind == "image") decodeImage(payload, featureDim)
+    else if (kind == "audio") decodeAudio(payload, featureDim)
     else decodeStub(payload, featureDim)
 
   /** Feature extraction over the binary column, batched per partition

@@ -430,6 +430,61 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio payloads are real PCM WAVs; decode recovers samples + spectrum") {
+    import spark.implicits._
+    // scalar: the generated payload is an actual RIFF/WAVE stream and
+    // decode recovers the exact sample count behind duration_ms
+    val (_, kind, mime, _, _, durMs, payload) = Multimodal.syntheticRow(1L, 42L)
+    assert(kind == "audio" && mime == "audio/wav")
+    assert(new String(payload.take(4), "US-ASCII") == "RIFF" &&
+      new String(payload.slice(8, 12), "US-ASCII") == "WAVE",
+      "payload must be an actual WAV stream")
+    val feats = Multimodal.decodeAudio(payload, 16)
+    assert(feats(0).toLong * 1000L / 8000L == durMs.get,
+      s"decoded sample count ${feats(0)} inconsistent with duration $durMs")
+    assert(feats(1) > 0.1f && feats(1) < 1.0f,
+      s"RMS of the two-sine waveform out of range: ${feats(1)}")
+
+    // spectral decode is real: a pure sine at a band-center frequency
+    // concentrates Goertzel energy in exactly that band
+    val rate = 8000
+    val nBands = 14
+    val targetBand = 4
+    val freq = (targetBand + 0.5) / nBands * (rate / 2.0)
+    val n = 2048
+    val data = new Array[Byte](n * 2)
+    (0 until n).foreach { t =>
+      val s = math.round(
+        20000 * math.sin(2 * math.Pi * freq * t / rate)).toInt
+      data(2 * t) = (s & 0xFF).toByte
+      data(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val sineFeats = Multimodal.decodeAudio(bos.toByteArray, 2 + nBands)
+    val bands = sineFeats.drop(2)
+    assert(bands.indexOf(bands.max) == targetBand,
+      s"sine at band $targetBand peaked at ${bands.indexOf(bands.max)}: " +
+        bands.mkString(","))
+
+    // distributed: the mapPartitions path decodes every audio row to the
+    // same features as the scalar path
+    val media = Multimodal.synthesize(spark, 30)
+    val audio = Multimodal.extractFeatures(media, featureDim = 16)
+      .where(col("kind") === "audio")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(audio.nonEmpty)
+    audio.foreach { case (id, got) =>
+      val (_, k, _, _, _, _, p) = Multimodal.syntheticRow(id, 42L)
+      assert(k == "audio")
+      assert(got == Multimodal.decodeAudio(p, 16).toSeq, s"media $id")
+    }
+  }
+
   test("frame sampling explodes video rows") {
     val media = Multimodal.synthesize(spark, 30)
     val frames = Multimodal.sampleFrames(media, everyMs = 10000L)
