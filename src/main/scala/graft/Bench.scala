@@ -151,11 +151,29 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = buildSession(cpus)
 
-    // untimed warmup: wake descheduled vCPUs and absorb first-query costs
-    // (codegen infrastructure, parquet footer reads, JIT of the hot Spark
-    // paths) so the first TIMED query measures the query, not the JVM —
-    // round-2's q1_agg carried ~2.5s of one-time warmup in its number
     warmCpus(cpus.toInt)
+    // host-capacity probe (pure CPU, no Spark): stamped into the JSON so
+    // a degraded host window is self-identifying in the artifact instead
+    // of masquerading as an engine regression
+    val probe4 = tools.WindowProbe.probe(4)
+    val probe16 = tools.WindowProbe.probe(16)
+
+    // throughput metrics FIRST, in the still-young JVM: round 3 measured
+    // them after the 40+-query loop had filled the C2 compile queue with
+    // hundreds of codegen classes and recorded a 31x/93x phantom collapse
+    // that the same night's fresh-JVM ScalingBench runs disproved. Sized
+    // so steady-state compute dominates codegen/JIT warmup at 32 threads.
+    val (encRows, encSecs) = encoderThroughput(spark, 2000000L)
+    val encThroughput = (encRows / encSecs).toLong
+    val (scRows, scSecs) = scoringThroughput(spark, 2000000L)
+    val scThroughput = (scRows / scSecs).toLong
+    val (bmRows, bmSecs) = bmThroughput(spark, 1000000L)
+    val bmTp = (bmRows / bmSecs).toLong
+
+    // untimed warmup: absorb first-query costs (codegen infrastructure,
+    // parquet footer reads, JIT of the hot Spark paths) so the first TIMED
+    // query measures the query, not the JVM — round-2's q1_agg carried
+    // ~2.5s of one-time warmup in its number
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
     SparkEntry.queries("q_join_agg")(spark, sfDir).count()
 
@@ -167,15 +185,9 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // sized so steady-state compute dominates codegen/JIT warmup at 32
-    // threads (~1.5M rows/s through all 12 encoders)
-    warmCpus(cpus.toInt)
-    val (encRows, encSecs) = encoderThroughput(spark, 2000000L)
-    val encThroughput = (encRows / encSecs).toLong
-    val (scRows, scSecs) = scoringThroughput(spark, 2000000L)
-    val scThroughput = (scRows / scSecs).toLong
-    val (bmRows, bmSecs) = bmThroughput(spark, 1000000L)
-    val bmTp = (bmRows / bmSecs).toLong
+    // re-probe after the loop: if the window degraded DURING the run the
+    // before/after pair records it
+    val probe16After = tools.WindowProbe.probe(16)
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -186,6 +198,10 @@ object Bench {
         s""""encoder_rows_per_sec":$encThroughput,""" +
         s""""scoring_pairs_per_sec":$scThroughput,""" +
         s""""bm_rows_per_sec":$bmTp,"cpus":$cpus,""" +
+        s""""host_probe":{"encodes_per_sec_4t":$probe4,""" +
+        s""""encodes_per_sec_16t":$probe16,""" +
+        s""""encodes_per_sec_16t_after_queries":$probe16After},""" +
+        s""""throughput_protocol":"measured pre-query-loop in young JVM",""" +
         s""""warmup":"untimed q1_agg+q_join_agg before the loop",""" +
         s""""sf":"$sfDir"}""")
     spark.stop()

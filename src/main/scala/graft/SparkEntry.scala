@@ -103,9 +103,21 @@ object SparkEntry {
     * band test and est-Jaccard threshold as `q_minhash_dedup`. Parameters
     * must match the query (numHashes=32, bands=8, k=3, threshold 0.5).
     */
-  private def minhashOracleSql: String = {
+  private def minhashOracleSql: String =
+    minhashOracleSqlOver("documents", crossBatchOnly = false)
+
+  /** The minhash pair oracle parameterized over its source relation:
+    * `documents` for the batch op; a VALUES literal of the streaming
+    * fixture (with a `batch` column and `crossBatchOnly`) for the
+    * streaming op, whose deterministic links are exactly the cross-batch
+    * near-dup pairs.
+    */
+  private def minhashOracleSqlOver(
+      docsFrom: String, crossBatchOnly: Boolean): String = {
     import graft.functions.MinHashFunctions.{coeffA, coeffB, M61}
     val numHashes = 32; val bands = 8; val rows = numHashes / bands
+    val bcol = if (crossBatchOnly) ", batch" else ""
+    val bcond = if (crossBatchOnly) " AND a.batch <> b.batch" else ""
     val sigTerms = (0 until numHashes).map(i =>
       s"list_min(list_transform(hv, h -> ((${coeffA(i)}::HUGEINT * h + " +
         s"${coeffB(i)}) % $M61)::BIGINT))")
@@ -115,24 +127,56 @@ object SparkEntry {
         s"sb[${b * rows + 1}:${b * rows + rows}])").mkString(" OR ")
     val agree = s"len(list_filter(range(1, ${numHashes + 1}), " +
       s"i -> sa[i] = sb[i]))::DOUBLE / $numHashes"
-    s"""WITH docs AS (SELECT doc_id,
+    s"""WITH docs AS (SELECT doc_id$bcol,
        |    regexp_extract_all(lower(text),
        |      '${graft.functions.Tokens.TokenPatternRe2}') AS words
-       |  FROM documents),
-       |sh AS (SELECT doc_id,
+       |  FROM $docsFrom),
+       |sh AS (SELECT doc_id$bcol,
        |    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
        |    ELSE list_transform(range(0, len(words)-2),
        |      i -> array_to_string(words[i+1:i+3], ' ')) END AS shingles
        |  FROM docs),
-       |hs AS (SELECT doc_id, list_transform(shingles,
+       |hs AS (SELECT doc_id$bcol, list_transform(shingles,
        |    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT) AS hv FROM sh),
-       |sig AS (SELECT doc_id, $sigTerms AS sg FROM hs),
+       |sig AS (SELECT doc_id$bcol, $sigTerms AS sg FROM hs),
        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |    a.sg AS sa, b.sg AS sb
-       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id$bcond)
        |SELECT id_a, id_b, round($agree, 6) AS est_jaccard
        |FROM cand WHERE ($bandChecks) AND round($agree, 6) >= 0.5""".stripMargin
   }
+
+  /** VALUES literal of the streaming fixture docs with their micro-batch
+    * index, shared by the streaming dedup/near-dup oracles.
+    */
+  private def streamingDocsValues: String = {
+    import graft.streaming.StreamingDriverQueries.{docsBatch1, docsBatch2}
+    val rows =
+      docsBatch1.map { case (id, t) => (id, 1, t) } ++
+        docsBatch2.map { case (id, t) => (id, 2, t) }
+    rows.map { case (id, b, t) => s"($id, $b, ${Goldens.sqlStr(t)})" }
+      .mkString(", ")
+  }
+
+  /** DuckDB recompute of streaming exact dedup: a row survives iff no
+    * same-fingerprint row arrived in an EARLIER micro-batch (the fixture
+    * guarantees no same-batch duplicates, so first-seen is well defined).
+    * Fingerprint = the same md5(whitespace-collapsed lowercase) column as
+    * batch `q_fingerprint`.
+    */
+  private def streamingDedupOracleSql: String =
+    s"""WITH docsrc(doc_id, batch, text) AS (VALUES $streamingDocsValues),
+       |fp AS (SELECT doc_id, batch, text,
+       |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+       |  FROM docsrc)
+       |SELECT a.doc_id, a.text FROM fp a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM fp b WHERE b.f = a.f AND b.batch < a.batch)""".stripMargin
+
+  private def streamingNearDupOracleSql: String =
+    minhashOracleSqlOver(
+      s"(VALUES $streamingDocsValues) AS docsrc(doc_id, batch, text)",
+      crossBatchOnly = true)
 
   /** DuckDB SimHash oracle: same md5-60-bit token-hash spec and per-bit
     * majority vote as [[Dedup.simhash]].
@@ -548,6 +592,13 @@ object SparkEntry {
           round(aggregate(col("features"),
             lit(0.0), (acc, x) => acc + x), 4).as("feature_sum"))
     }),
+    // ---- streaming ops (deterministic two-micro-batch MemoryStream) ----
+    "q_streaming_dedup" -> ((s, _) =>
+      graft.streaming.StreamingDriverQueries.dedup(s)),
+    "q_streaming_neardup" -> ((s, _) =>
+      graft.streaming.StreamingDriverQueries.nearDup(s)),
+    "q_streaming_linkage" -> ((s, _) =>
+      graft.streaming.StreamingDriverQueries.linkage(s)),
     // ---- checkpoint/lineage layer (TableIO commit + resume) ----
     "q_checkpoint_lineage" -> ((s, _) => {
       import s.implicits._
@@ -747,6 +798,13 @@ object SparkEntry {
       Goldens.valuesSql(Seq("stage", "rows", "resume_consistent"),
         Seq(("input", 200, true), ("tokens", 449, true))),
     "q_multimodal_features" -> multimodalOracleSql,
+    "q_streaming_dedup" -> streamingDedupOracleSql,
+    "q_streaming_neardup" -> streamingNearDupOracleSql,
+    // expected edges recomputed driver-side from the scalar blocking-key +
+    // cluster-match single sources of truth, cross-batch pairs only
+    "q_streaming_linkage" ->
+      Goldens.valuesSql(Seq("src", "dst"),
+        graft.streaming.StreamingDriverQueries.expectedLinkageEdges),
     // JW oracle recomputes with DuckDB's own jaro_winkler_similarity —
     // engine-independent agreement on the standard definition
     "q_jaro_winkler" ->
