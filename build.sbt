@@ -29,3 +29,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS")
   .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)
+
+// `sbt oracleCheck`: dump every SparkEntry query at sf0.001 and compare
+// against its DuckDB oracle (tools/compare_oracles.py emulates the
+// driver's CORRECTNESS gate) — catches query/oracle drift at build time
+// instead of driver time. Fails the task on any row/schema/hash mismatch.
+lazy val oracleCheck = taskKey[Unit](
+  "Verify at sf0.001 + DuckDB oracle comparison (driver-gate emulation)")
+oracleCheck := Def.sequential(
+  (Compile / runMain).toTask(
+    " graft.Verify /root/testdata/sf0.001 target/oracle_check"),
+  Def.task {
+    import scala.sys.process._
+    val ec = Process(
+      Seq("python3", "tools/compare_oracles.py",
+        "target/oracle_check", "/root/testdata/sf0.001"),
+      baseDirectory.value).!
+    if (ec != 0) sys.error(s"oracle comparison FAILED (exit $ec)")
+  }
+).value
