@@ -98,13 +98,17 @@ object ScalingBench {
     (l.toLong, h.toLong, h / l / 4.0)
   }
 
-  private def runPipeline(cpus: String, nFiles: Long): Double = {
+  private def runPipeline(
+      cpus: String, nFiles: Long, skewed: Boolean = false): Double = {
     val spark = Bench.buildSession(cpus)
     try {
       import org.apache.spark.sql.functions._
       Bench.warmCpus(cpus.toInt)
       val t0 = System.nanoTime()
-      val files = pipeline.RepoFiles.generate(spark, nFiles, seed = 42L)
+      val files =
+        if (skewed)
+          pipeline.RepoFiles.generateSkewed(spark, nFiles, seed = 42L)
+        else pipeline.RepoFiles.generate(spark, nFiles, seed = 42L)
       val tokens = pipeline.Tokenizer.pruneCommon(
         pipeline.Tokenizer.tokenize(files), knownFileCount = nFiles)
       val keys = pipeline.Blocking.blockingKeys(tokens)
@@ -155,6 +159,41 @@ object ScalingBench {
       val secs = runPipeline(cpus, nFiles)
       println(f"PIPELINE_LEVEL cpus=$cpus n=$nFiles secs=$secs%.1f " +
         f"rows_per_sec=${(nFiles / secs).toLong}")
+      return
+    }
+    // skew measurement: same size + cores, uniform vs 20%-hot-name input.
+    // The cap + broadcast anti-join is plan-pinned in PlanQualitySpec;
+    // this MEASURES it: `skew <n> <cpus>` must land within ~1.5x of the
+    // uniform run. Three paired rounds with alternating order (so warm-JVM
+    // bias cancels) and the MEDIAN per-round ratio reported — this host's
+    // multi-minute noise episodes swing a single pipeline run several-fold
+    // (observed 36 s and 227 s for the identical uniform 200k run within
+    // twenty minutes), so no single pair is trustworthy.
+    if (mode == "skew") {
+      val cpus = args.drop(2).headOption.getOrElse(high)
+      runPipeline(cpus, 2000L) // JIT warm
+      val rounds = (0 until 3).map { r =>
+        val skewFirst = r % 2 == 1
+        val (a, b) =
+          (runPipeline(cpus, nFiles, skewed = skewFirst),
+            runPipeline(cpus, nFiles, skewed = !skewFirst))
+        val (uni, sk) = if (skewFirst) (b, a) else (a, b)
+        val p4 = tools.WindowProbe.probe(4, reps = 1)
+        println(f"SKEW_ROUND $r uniform=$uni%.1f s skewed=$sk%.1f s " +
+          f"ratio=${sk / uni}%.2f probe4=$p4")
+        (uni, sk)
+      }
+      val (uniM, skM) = rounds.sortBy { case (u, s) => s / u }
+        .apply((rounds.length - 1) / 2)
+      val line = f"SKEW cpus=$cpus n=$nFiles rounds=${rounds.length} " +
+        f"median: uniform=$uniM%.1f s skewed=$skM%.1f s " +
+        f"ratio=${skM / uniM}%.2f all=[" +
+        rounds.map { case (u, s) => f"${s / u}%.2f" }.mkString(",") +
+        "] (20% of files share one hot name; target <= ~1.5)"
+      println(line)
+      Files.write(Paths.get("BENCH_RUNS.md"),
+        s"\n$line\n".getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       return
     }
     // steadyRdd runs warm + 3 timed reps per measurement; sized so

@@ -109,6 +109,14 @@ object RepoFiles {
         val entity = i / SynthEntitySize // >= 41: disjoint from families
         (synthVariant(synthBase(entity), h), entity.toInt)
       }
+    buildRow(i, h, variant, entityId, seed)
+  }
+
+  /** The file template for a given name variant — the single source the
+    * uniform and skewed generators share.
+    */
+  private def buildRow(i: Long, h: Long, variant: String, entityId: Int,
+      seed: Long): (String, String, String, String, String, Int) = {
     // fuse multi-word names ("Jo Ann" -> "Joann") so the identifier carries
     // the whole name as one token through camelCase splitting
     val letters = variant.filter(_.isLetter)
@@ -157,6 +165,46 @@ object RepoFiles {
       .mapPartitions { it =>
         it.map { i =>
           val (repo, path, commit, lang, content, fam) = row(i, seed)
+          (i, repo, path, commit, lang, content, fam)
+        }
+      }
+      .toDF("file_id", "repo", "path", "commit", "lang", "content",
+        "entity_id")
+      .withColumn("content_sha", sha2(col("content"), 256))
+  }
+
+  /** Ground-truth entity id of the deliberately hot entity in
+    * [[generateSkewed]] (outside both the fixture range and the
+    * synthesized i/25 range, so it never collides).
+    */
+  val HotEntityId: Int = -1
+
+  /** The hot identifier every skewed row carries. */
+  val HotName: String = "Hotspot"
+
+  /** [[generate]] with a deliberately skewed identifier distribution:
+    * every `hotEveryK`-th file (20% at the default 5) carries the SAME
+    * name, so every one of that name's blocking keys collects
+    * nFiles/hotEveryK rows — the degenerate-key regime the
+    * `maxBlockSize` cap + broadcast anti-join exists for. Used to
+    * MEASURE the skew defuse (ScalingBench `skew` mode), not just pin
+    * its plan shape.
+    */
+  def generateSkewed(spark: SparkSession, nFiles: Long, seed: Long = 42L,
+      hotEveryK: Int = 5, partitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val parts =
+      if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    spark
+      .range(0, nFiles, 1, parts)
+      .mapPartitions { it =>
+        it.map { i =>
+          val (repo, path, commit, lang, content, fam) =
+            if (i % hotEveryK == 0) {
+              val h = scrambleBits(i * 0x9E3779B97F4A7C15L + seed)
+              buildRow(i, h, HotName, HotEntityId, seed)
+            } else row(i, seed)
           (i, repo, path, commit, lang, content, fam)
         }
       }
