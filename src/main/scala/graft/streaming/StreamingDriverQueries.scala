@@ -73,6 +73,13 @@ object StreamingDriverQueries {
     val input = MemoryStream[(Long, String)]
     val name = s"graft_stream_q_${nameCounter.incrementAndGet()}"
     val out = build(input.toDS().toDF(idCol, strCol))
+    // a six-row fixture does not need 32 state-store partitions — every
+    // stateful-op partition costs a task + a store commit PER MICRO-BATCH,
+    // which at the session default dominated the query's wall time ~8x.
+    // (Real deployments size this to their ingest rate; the semantics
+    // under test are partition-count independent.)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     val query = out.writeStream
       .format("memory").queryName(name).outputMode("append").start()
     try {
@@ -87,6 +94,10 @@ object StreamingDriverQueries {
     } finally {
       query.stop()
       spark.catalog.dropTempView(name)
+      // restored only after the query is fully stopped: the stream
+      // captures the setting during micro-batch planning, which runs
+      // asynchronously after start()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
   }
 

@@ -22,6 +22,36 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(got == "W252", s"stale binding shadowed the library: $got")
   }
 
+  test("concurrent register(): no caller sees a half-registered session") {
+    // the race this pins: a second register() returning while the first is
+    // mid-way through binding, so the second caller's immediate
+    // call_function hits an undefined function
+    (0 until 20).foreach { _ =>
+      val fresh = spark.newSession()
+      import fresh.implicits._
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val threads = (0 until 8).map { _ =>
+        val t = new Thread(() => {
+          try {
+            start.await()
+            GraftFunctions.register(fresh)
+            // must be bound the instant register() returns — including the
+            // LAST function in the builders list
+            val r = Seq(("Washington", "Smith")).toDF("a", "b")
+              .selectExpr("graft_soundex(a)", "graft_minhash_signature(b)")
+              .head()
+            assert(r.getString(0) == "W252")
+          } catch { case e: Throwable => errors.add(e) }
+        })
+        t.start(); t
+      }
+      start.countDown()
+      threads.foreach(_.join(30000))
+      assert(errors.isEmpty, s"concurrent register failed: ${errors.peek()}")
+    }
+  }
+
   test("all unary functions via SQL, incl null handling") {
     import spark.implicits._
     val df = Seq("Washington", "Smith", "müller", null).toDF("name")
