@@ -485,6 +485,40 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("video payloads are real MJPEG AVIs; decode recovers frames + motion") {
+    import spark.implicits._
+    // scalar: the generated payload is an actual RIFF/AVI stream and
+    // decode recovers the exact frame count and dimensions behind the
+    // metadata
+    val (_, kind, mime, w, h, durMs, payload) = Multimodal.syntheticRow(2L, 42L)
+    assert(kind == "video" && mime == "video/avi")
+    assert(new String(payload.take(4), "US-ASCII") == "RIFF" &&
+      new String(payload.slice(8, 12), "US-ASCII") == "AVI ",
+      "payload must be an actual AVI stream")
+    val feats = Multimodal.decodeVideo(payload, 11)
+    assert(feats(0).toLong * 1000L / 4L == durMs.get,
+      s"decoded frame count ${feats(0)} inconsistent with duration $durMs")
+    assert(feats(1) == w.get.toFloat && feats(2) == h.get.toFloat)
+    // the synthetic frames ramp dark -> bright over time; the decoded
+    // temporal luminance curve must be increasing end-to-end
+    val curve = feats.drop(3).filter(_ > 0f)
+    assert(curve.length >= 2 && curve.last > curve.head + 0.2f,
+      s"luminance ramp not recovered: ${feats.drop(3).mkString(",")}")
+
+    // distributed: the mapPartitions path decodes every video row to the
+    // same features as the scalar path
+    val media = Multimodal.synthesize(spark, 30)
+    val videos = Multimodal.extractFeatures(media, featureDim = 16)
+      .where(col("kind") === "video")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(videos.nonEmpty)
+    videos.foreach { case (id, got) =>
+      val (_, k, _, _, _, _, p) = Multimodal.syntheticRow(id, 42L)
+      assert(k == "video")
+      assert(got == Multimodal.decodeVideo(p, 16).toSeq, s"media $id")
+    }
+  }
+
   test("frame sampling explodes video rows") {
     val media = Multimodal.synthesize(spark, 30)
     val frames = Multimodal.sampleFrames(media, everyMs = 10000L)
