@@ -800,11 +800,15 @@ object SparkEntry {
     "q_multimodal_features" -> multimodalOracleSql,
     "q_streaming_dedup" -> streamingDedupOracleSql,
     "q_streaming_neardup" -> streamingNearDupOracleSql,
-    // expected edges recomputed driver-side from the scalar blocking-key +
-    // cluster-match single sources of truth, cross-batch pairs only
+    // STATIC expected edges, derived from reference semantics (not from
+    // this library's own functions, which would be circular): smith/smyth
+    // co-block and cluster-match because commons-codec Metaphone encodes
+    // both to "SM0" (golden-pinned in q_metaphone's vectors); jones and
+    // wilson match nothing. StreamingLinkageSpec asserts the library's own
+    // scalar recompute (expectedLinkageEdges) agrees with this list, so
+    // fixture/oracle drift fails the build before it fails the driver.
     "q_streaming_linkage" ->
-      Goldens.valuesSql(Seq("src", "dst"),
-        graft.streaming.StreamingDriverQueries.expectedLinkageEdges),
+      Goldens.valuesSql(Seq("src", "dst"), Seq((100L, 300L))),
     // JW oracle recomputes with DuckDB's own jaro_winkler_similarity —
     // engine-independent agreement on the standard definition
     "q_jaro_winkler" ->

@@ -12,6 +12,15 @@ import graft.SparkSessionTestWrapper
 class StreamingLinkageSpec extends AnyFunSuite {
   private lazy val spark = SparkSessionTestWrapper.spark
 
+  test("driver fixture: library recompute agrees with the static oracle") {
+    // the q_streaming_linkage oracle is a STATIC reference-derived list
+    // ((100,300): smith/smyth share Metaphone "SM0"); the library's own
+    // scalar blockKeys+clusterMatch recompute over the fixture must agree,
+    // so a fixture or criterion change that would silently invalidate the
+    // oracle fails here first
+    assert(StreamingDriverQueries.expectedLinkageEdges == Seq((100L, 300L)))
+  }
+
   test("cross-micro-batch matches are emitted from block state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
