@@ -242,6 +242,14 @@ object GraftFunctions {
     call_function("graft_jaro_winkler", a, b)
   def graftScoreFeatures(a: Column, b: Column): Column =
     call_function("graft_score_features", a, b)
+  def graftLangId(c: Column): Column = call_function("graft_langid", c)
+  def graftLangIdScored(c: Column): Column =
+    call_function("graft_langid_scored", c)
+  def graftTokens(c: Column): Column = call_function("graft_tokens", c)
+  def graftCosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+  def graftMinhashSignature(c: Column): Column =
+    call_function("graft_minhash_signature", c)
 }
 
 /** `spark.sql.extensions`-pluggable registration. */

@@ -519,6 +519,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("media decoders handle boundary shapes and reject junk loudly") {
+    val rnd = new scala.util.Random(7)
+    // single 1x1 frame video
+    val avi = Multimodal.syntheticAviMjpeg(rnd, 1, 1, 1, 4)
+    val vf = Multimodal.decodeVideo(avi, 4)
+    assert(vf(0) == 1f && vf(1) == 1f && vf(2) == 1f)
+    // single-sample wav
+    val wav = Multimodal.syntheticWav(rnd, 1, 8000)
+    assert(Multimodal.decodeAudio(wav, 3)(0) == 1f)
+    // more time buckets than frames: empty buckets stay zero, no crash
+    val avi2 = Multimodal.syntheticAviMjpeg(rnd, 4, 4, 2, 4)
+    val vf2 = Multimodal.decodeVideo(avi2, 13)
+    assert(vf2(0) == 2f && vf2.drop(3).count(_ > 0f) <= 2)
+    // junk bytes fail loudly (a silent fake vector would poison dedup)
+    intercept[Exception](Multimodal.decodeVideo(Array[Byte](1, 2, 3), 4))
+    intercept[Exception](Multimodal.decodeAudio(Array.fill[Byte](64)(0), 3))
+    intercept[Exception](Multimodal.decodeImage(Array.fill[Byte](16)(9), 16))
+  }
+
   test("frame sampling explodes video rows") {
     val media = Multimodal.synthesize(spark, 30)
     val frames = Multimodal.sampleFrames(media, everyMs = 10000L)
