@@ -154,8 +154,9 @@ object Multimodal {
       le32(out, 0); le32(out, 0); le32(out, 0)
       le32(out, 1); le32(out, fps.toLong) // dwScale / dwRate
       le32(out, 0); le32(out, nFrames.toLong) // dwStart / dwLength
-      le32(out, 0); le32(out, 0); le32(out, 0)
-      le32(out, (w << 16) | h) // rcFrame right/bottom packed shorts
+      le32(out, 0); le32(out, 0); le32(out, 0) // suggBuf, quality, sampleSize
+      // rcFrame: 4 LE16 shorts (left, top, right, bottom)
+      le32(out, 0); le32(out, ((h.toLong & 0xFFFF) << 16) | (w & 0xFFFF))
       chunk("strh", out.toByteArray)
     }
     val strf = {
