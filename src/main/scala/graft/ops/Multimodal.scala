@@ -439,8 +439,9 @@ object Multimodal {
   }
 
   /** Frame-sampling plan for video rows: deterministic sample timestamps
-    * (every `everyMs`), exploded to one row per frame — the decode of each
-    * frame is the same stub.
+    * (every `everyMs`), exploded to one row per sampled frame; pairs with
+    * [[decodeVideo]]'s per-frame decode when the frames themselves are
+    * needed.
     */
   def sampleFrames(media: DataFrame, everyMs: Long = 5000L): DataFrame =
     media
