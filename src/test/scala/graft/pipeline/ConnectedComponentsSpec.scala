@@ -114,6 +114,42 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       "completed run must remove its loop snapshots")
   }
 
+  test("random graphs match a union-find reference (12 seeded shapes)") {
+    // independent oracle: driver-side union-find with min-label
+    // normalization; catches any propagation/jump bug (including the
+    // non-root parents filter) on arbitrary topologies, not just the
+    // hand-picked shapes above
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-label normalization: every root is already the min of its
+      // component because union always points the larger root at the
+      // smaller
+      (0 until n).map(v => v.toLong -> find(v).toLong).toMap
+    }
+    (0 until 12).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 8 + rnd.nextInt(40)
+      val nEdges = rnd.nextInt(2 * n)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(n, edges)
+      val got = cluster(0L until n.toLong, edges)
+      assert(got == expected, s"seed=$seed n=$n edges=$edges")
+    }
+  }
+
   test("pointer jumping converges in O(log diameter) rounds") {
     import spark.implicits._
     // 512-vertex path: plain propagation would need ~512 rounds
