@@ -72,7 +72,12 @@ final class LinkagePipeline(
         lineageToken = io.committedAt("edges").getOrElse(""))
     }
 
-    io.stage("resolved", upstream = Seq("clusters", "input")) {
+    // output partitioned by lang (low cardinality): downstream consumers
+    // that read one language's slice get storage-level partition pruning
+    // instead of a full scan — the layout choice that matters at 10^12
+    // rows
+    io.stage("resolved", upstream = Seq("clusters", "input"),
+      partitionBy = Seq("lang")) {
       input
         .select("file_id", "repo", "path", "commit", "lang", "content_sha")
         .join(clusters, "file_id")

@@ -48,6 +48,27 @@ class TableIOSpec extends AnyFunSuite {
     assert(fresh.count() == 5)
   }
 
+  test("partitionBy lays out hive partitions and pruning reaches the scan") {
+    import spark.implicits._
+    val root = tmpDir()
+    val io = new TableIO(spark, root)
+    val df = io.stage("by_lang", partitionBy = Seq("lang")) {
+      Seq((1L, "scala"), (2L, "java"), (3L, "scala"), (4L, "rust"))
+        .toDF("id", "lang")
+    }
+    assert(df.count() == 4)
+    // hive-style partition directories on disk
+    val dirs = new java.io.File(s"$root/by_lang").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("lang=scala", "lang=java", "lang=rust"), dirs)
+    // a language filter becomes a PartitionFilter (storage-level pruning),
+    // not a post-scan row filter
+    val plan = io.read("by_lang").where($"lang" === "scala")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    assert(io.read("by_lang").where($"lang" === "scala").count() == 2)
+  }
+
   test("upstream lineage is recorded") {
     import spark.implicits._
     val io = new TableIO(spark, tmpDir())
