@@ -356,9 +356,15 @@ object Multimodal {
       var off = start
       while (off + 8 <= end) {
         val id = cc(off)
-        val size = u32(off + 4).toInt
+        // size stays a Long through the bounds check: a declared size near
+        // 2^31 would overflow Int arithmetic and dodge the guard
+        val size64 = u32(off + 4)
+        // malformed size (past the buffer) must terminate the walk, not
+        // loop or read out of bounds
+        if (off + 8L + size64 > end) return
+        val size = size64.toInt
         if (id == "LIST") walk(off + 12, off + 8 + size)
-        else if (id == "avih") {
+        else if (id == "avih" && size >= 40) {
           totalFrames = u32(off + 8 + 16)
           width = u32(off + 8 + 32)
           height = u32(off + 8 + 36)

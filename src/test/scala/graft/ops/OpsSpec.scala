@@ -532,6 +532,13 @@ class MultimodalSpec extends AnyFunSuite {
     val avi2 = Multimodal.syntheticAviMjpeg(rnd, 4, 4, 2, 4)
     val vf2 = Multimodal.decodeVideo(avi2, 13)
     assert(vf2(0) == 2f && vf2.drop(3).count(_ > 0f) <= 2)
+    // a malformed chunk size must terminate the walk (not loop/overread):
+    // valid RIFF/AVI magic but a chunk declaring a size past the buffer
+    val malformed = java.util.Arrays.copyOf(avi, 64)
+    malformed(16) = 0xFF.toByte; malformed(17) = 0xFF.toByte
+    malformed(18) = 0xFF.toByte; malformed(19) = 0x7F.toByte
+    val mf = Multimodal.decodeVideo(malformed, 4)
+    assert(mf(0) == 0f, "malformed stream must decode to zero frames")
     // junk bytes fail loudly (a silent fake vector would poison dedup)
     intercept[Exception](Multimodal.decodeVideo(Array[Byte](1, 2, 3), 4))
     intercept[Exception](Multimodal.decodeAudio(Array.fill[Byte](64)(0), 3))
