@@ -605,7 +605,11 @@ object SparkEntry {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_ckpt").toString
       val io1 = new graft.io.TableIO(s, dir)
-      val files = RepoFiles.generate(s, nFiles = 200, seed = 42L)
+      // 4 partitions for a 200-row fixture: the stage commits otherwise
+      // write 32 near-empty parquet files each (generation is per-row
+      // deterministic, so row counts are partition-independent)
+      val files = RepoFiles.generate(s, nFiles = 200, seed = 42L,
+        partitions = 4)
       val input = io1.stage("input") { files }
       val tokens = io1.stage("tokens", upstream = Seq("input")) {
         Tokenizer.tokenize(input)
