@@ -35,30 +35,16 @@ object ScalingBench {
   private val high = "16"
 
   /** Pure-CPU hardware-ceiling probe (no Spark): best of 3 multithreaded
-    * Phonex-encode runs per thread count. Evidence for the N/4N choice.
+    * Phonex-encode runs per thread count, on [[tools.WindowProbe]]'s
+    * SHARED workload so this table and every window-probe reading in
+    * BENCH.md / the driver bench JSON measure the identical thing.
+    * Evidence for the N/4N choice.
     */
   private def hardwareProbe(): Seq[(Int, Long)] = {
-    import graft.phonetic.Phonex
-    val base = pipeline.NameFixtures.families.flatten
-      .map(_.filter(_.isLetter).toLowerCase)
-    val toks = (0 until 10000).map(i => base(i % base.length) + (i % 97)).toArray
-    def mt(nThreads: Int, perThread: Int): Double = {
-      val threads = (0 until nThreads).map { t =>
-        new Thread(() => {
-          var k = 0
-          while (k < perThread) {
-            Phonex.default.encode(toks((k + t) % toks.length)); k += 1
-          }
-        })
-      }
-      val t0 = System.nanoTime()
-      threads.foreach(_.start()); threads.foreach(_.join())
-      nThreads.toLong * perThread / ((System.nanoTime() - t0) / 1e9)
-    }
     Bench.warmCpus(32)
-    mt(32, 500000) // deep warm
+    tools.WindowProbe.rate(32, 500000) // deep warm
     Seq(1, 4, 8, 16, 32).map { n =>
-      n -> (1 to 3).map(_ => mt(n, 2000000)).max.toLong
+      n -> (1 to 3).map(_ => tools.WindowProbe.rate(n, 2000000)).max.toLong
     }
   }
 

@@ -66,9 +66,11 @@ object SparkEntry {
       .map(l => s"WHEN $l = $g THEN '$l'").mkString(" ")
     val fallback = langs.sorted.head
     s"""WITH padded AS (SELECT ' ' || lower(text) || ' ' AS p FROM documents),
-       |scores AS (SELECT ${scoreCols.mkString(",\n  ")} FROM padded)
+       |scores AS (SELECT p IS NULL AS no_text,
+       |  ${scoreCols.mkString(",\n  ")} FROM padded)
        |SELECT lang_guess, count(*) AS cnt FROM (
-       |  SELECT CASE WHEN $g <= 0 THEN 'und' $cases
+       |  SELECT CASE WHEN no_text THEN NULL
+       |    WHEN $g <= 0 THEN 'und' $cases
        |    ELSE '$fallback' END AS lang_guess
        |  FROM scores) GROUP BY 1""".stripMargin
   }
@@ -89,11 +91,13 @@ object SparkEntry {
     val fallback = langs.sorted.head
     s"""WITH padded AS (
        |  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
-       |scores AS (SELECT doc_id, ${scoreCols.mkString(",\n  ")} FROM padded)
+       |scores AS (SELECT doc_id, p IS NULL AS no_text,
+       |  ${scoreCols.mkString(",\n  ")} FROM padded)
        |SELECT doc_id,
-       |  CASE WHEN $g < $minHits THEN 'und' $cases
+       |  CASE WHEN no_text THEN NULL
+       |    WHEN $g < $minHits THEN 'und' $cases
        |    ELSE '$fallback' END AS lang_guess,
-       |  $g AS lang_hits
+       |  CASE WHEN no_text THEN NULL ELSE $g END AS lang_hits
        |FROM scores""".stripMargin
   }
 
@@ -283,8 +287,9 @@ object SparkEntry {
     * REAL PNGs decoded with the JDK's ImageIO (dimensions + luminance
     * histogram of actual pixels); audio rows are REAL PCM WAVs decoded
     * with the JDK's javax.sound.sampled (sample count, RMS, Goertzel
-    * band energies); only video decode is a documented stub (no video
-    * codec in the JDK or this container). Expected values are recomputed
+    * band energies); video rows are REAL MJPEG AVIs decoded via the
+    * RIFF chunk walk + the JDK's JPEG plugin (frame count, dims,
+    * temporal luminance curve). Expected values are recomputed
     * driver-side from the SAME pure functions
     * ([[Multimodal.syntheticRow]]/[[Multimodal.decode]]) — pinning that
     * the distributed mapPartitions path reproduces the scalar path

@@ -38,12 +38,28 @@ final class TableIO(spark: SparkSession, root: String) {
 
   /** Run `compute` and commit its result as `stage`, unless a committed
     * snapshot already exists (resume path). Returns the stage DataFrame.
+    *
+    * Staleness guard: a committed stage is only resumed if none of its
+    * named `upstream` stages committed AFTER it — an upstream that was
+    * invalidated and recomputed under the same root would otherwise be
+    * silently paired with this stage's output computed against the OLD
+    * upstream data. Stale stages are invalidated and recomputed.
+    * (Non-stage upstream entries — e.g. lineage tokens — have no
+    * manifest and are ignored.)
     */
   def stage(
       stage: String,
       upstream: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil)(compute: => DataFrame): DataFrame = {
-    if (isCommitted(stage)) return read(stage)
+    if (isCommitted(stage)) {
+      val mine = committedAt(stage).map(java.time.Instant.parse)
+      val staleUpstream = upstream.exists { u =>
+        committedAt(u).map(java.time.Instant.parse).exists(upAt =>
+          mine.exists(_.isBefore(upAt)))
+      }
+      if (!staleUpstream) return read(stage)
+      invalidate(stage)
+    }
 
     val t0 = System.nanoTime()
     val df = compute

@@ -374,6 +374,12 @@ object Multimodal {
       }
     }
     walk(12, math.min(payload.length, 8 + u32(4).toInt))
+    // the header-declared frame count must agree with the frames actually
+    // present — a silently truncated movi list would otherwise decode to a
+    // plausible-but-wrong feature vector and poison frame-level dedup
+    require(totalFrames == 0 || totalFrames == frameSpans.length,
+      s"declared $totalFrames frames, found ${frameSpans.length} " +
+        "(truncated stream?)")
 
     val out = new Array[Float](featureDim)
     out(0) = frameSpans.length.toFloat

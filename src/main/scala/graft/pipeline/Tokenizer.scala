@@ -35,6 +35,12 @@ object Tokenizer {
     * rows are unique by construction — an explicit distinct here would be
     * a full extra shuffle of the token stream (measured ~16M rows at 800k
     * files) that removes nothing.
+    *
+    * PRECONDITION: `files` has one row per file_id (true for every
+    * pipeline source — the input stage is the table of record). A caller
+    * unioning ingest sources with repeated file_ids must dedupe first, or
+    * pruneCommon's document-frequency counts (which assume one row per
+    * (file, token)) inflate.
     */
   def tokenize(files: DataFrame, minLength: Int = 2): DataFrame =
     files

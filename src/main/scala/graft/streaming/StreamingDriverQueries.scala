@@ -80,25 +80,28 @@ object StreamingDriverQueries {
     // under test are partition-count independent.)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
-    val query = out.writeStream
-      .format("memory").queryName(name).outputMode("append").start()
+    // the override is restored only after the query is fully stopped (the
+    // stream captures the setting during micro-batch planning, which runs
+    // asynchronously after start()) — and on EVERY exit path, including
+    // start() itself throwing, so a failed streaming query can never leak
+    // partitions=2 into the rest of the session
     try {
-      input.addData(b1: _*)
-      query.processAllAvailable()
-      input.addData(b2: _*)
-      query.processAllAvailable()
-      val table = spark.table(name)
-      val rows: Seq[Row] = table.collect().toSeq
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), table.schema)
-    } finally {
-      query.stop()
-      spark.catalog.dropTempView(name)
-      // restored only after the query is fully stopped: the stream
-      // captures the setting during micro-batch planning, which runs
-      // asynchronously after start()
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    }
+      val query = out.writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try {
+        input.addData(b1: _*)
+        query.processAllAvailable()
+        input.addData(b2: _*)
+        query.processAllAvailable()
+        val table = spark.table(name)
+        val rows: Seq[Row] = table.collect().toSeq
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), table.schema)
+      } finally {
+        query.stop()
+        spark.catalog.dropTempView(name)
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** Streaming exact dedup over the two batches: survivors =

@@ -16,6 +16,12 @@ object WindowProbe {
     (0 until 10000).map(i => base(i % base.length) + (i % 97)).toArray
   }
 
+  /** One timed N-thread encode run (encodes/sec), no warm-up — the shared
+    * primitive under [[probe]] and ScalingBench's hardware-ceiling table,
+    * so the two reports measure the identical workload.
+    */
+  def rate(nThreads: Int, perThread: Int): Double = mt(nThreads, perThread)
+
   private def mt(nThreads: Int, perThread: Int): Double = {
     val threads = (0 until nThreads).map { t =>
       new Thread(() => {

@@ -69,6 +69,27 @@ class TableIOSpec extends AnyFunSuite {
     assert(io.read("by_lang").where($"lang" === "scala").count() == 2)
   }
 
+  test("a stage whose upstream recomputed after it is not resumed") {
+    import spark.implicits._
+    val io = new TableIO(spark, tmpDir())
+    io.stage("a") { (1 to 3).toDF("n") }
+    var bComputes = 0
+    def computeB() = io.stage("b", upstream = Seq("a")) {
+      bComputes += 1
+      io.read("a")
+    }
+    computeB()
+    computeB()
+    assert(bComputes == 1, "b with an unchanged upstream must resume")
+    // upstream invalidated and recomputed under the same root: resuming b
+    // would silently pair it with data it was not computed from
+    io.invalidate("a")
+    io.stage("a") { (1 to 7).toDF("n") }
+    val b2 = computeB()
+    assert(bComputes == 2, "b must recompute after its upstream moved")
+    assert(b2.count() == 7)
+  }
+
   test("upstream lineage is recorded") {
     import spark.implicits._
     val io = new TableIO(spark, tmpDir())
