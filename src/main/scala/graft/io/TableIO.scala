@@ -50,7 +50,9 @@ final class TableIO(spark: SparkSession, root: String) {
   def stage(
       stage: String,
       upstream: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil)(compute: => DataFrame): DataFrame = {
+      partitionBy: Seq[String] = Nil,
+      metadata: Map[String, String] = Map.empty)(
+      compute: => DataFrame): DataFrame = {
     if (isCommitted(stage)) {
       val mine = committedAt(stage).map(java.time.Instant.parse)
       val staleUpstream = upstream.exists { u =>
@@ -88,6 +90,9 @@ final class TableIO(spark: SparkSession, root: String) {
         s"commit rename failed for stage '$stage' ($tmp -> ${stageDir(stage)})")
 
     val elapsedMs = (System.nanoTime() - t0) / 1000000
+    val metaJson = metadata.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString(",")
     val manifest =
       s"""{"stage":"${esc(stage)}","rows":$rows,"files":$nFiles,
          |"bytes":$totalBytes,
@@ -96,6 +101,7 @@ final class TableIO(spark: SparkSession, root: String) {
          |"max":${if (nFiles == 0) 0L else sizes.last}},
          |"rows_per_sec":${if (elapsedMs == 0) 0 else rows * 1000 / elapsedMs},
          |"upstream":[${upstream.map(u => "\"" + esc(u) + "\"").mkString(",")}],
+         |"metadata":{$metaJson},
          |"elapsed_ms":$elapsedMs,
          |"committed_at":"${java.time.Instant.now()}"}""".stripMargin
     val tmpManifest = new Path(rootPath, s"_tmp_$stage.manifest.json")
@@ -143,6 +149,16 @@ final class TableIO(spark: SparkSession, root: String) {
   def committedAt(stage: String): Option[String] =
     manifest(stage).flatMap { m =>
       "\"committed_at\":\"([^\"]+)\"".r.findFirstMatchIn(m).map(_.group(1))
+    }
+
+  /** A caller-supplied metadata value recorded at commit time (e.g. the
+    * input-lineage token the connected-components loop snapshots stamp
+    * themselves with).
+    */
+  def metadataOf(stage: String, key: String): Option[String] =
+    manifest(stage).flatMap { m =>
+      ("\"metadata\":\\{[^}]*\"" + java.util.regex.Pattern.quote(key) +
+        "\":\"([^\"]*)\"").r.findFirstMatchIn(m).map(_.group(1))
     }
 
   def manifest(stage: String): Option[String] =

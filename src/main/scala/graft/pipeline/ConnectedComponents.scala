@@ -31,12 +31,10 @@ object ConnectedComponents {
   private def snapshotStage(i: Int): String = s"cc_round_$i"
 
   /** The lineage token recorded in a committed loop snapshot's manifest
-    * (stored as an `upstream` entry `"lineage:<token>"`).
+    * (a first-class TableIO metadata field).
     */
   private def recordedToken(io: graft.io.TableIO, stage: String): String =
-    io.manifest(stage).flatMap { m =>
-      "lineage:([^\"\\\\]*)".r.findFirstMatchIn(m).map(_.group(1))
-    }.getOrElse("")
+    io.metadataOf(stage, "lineage").getOrElse("")
 
   /** edges(src, dst) + vertices(file_id) -> (file_id, cluster_id). */
   def run(
@@ -156,7 +154,7 @@ object ConnectedComponents {
       durable.foreach { case (io, k) =>
         if (!done && iter % k == 0) {
           val snap = io.stage(snapshotStage(iter),
-            upstream = Seq(s"lineage:$lineageToken")) {
+            metadata = Map("lineage" -> lineageToken)) {
             next.select(col("file_id"), col("cluster_id"),
               col("changed").as("in_frontier"))
           }
