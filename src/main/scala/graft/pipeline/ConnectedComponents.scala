@@ -134,15 +134,21 @@ object ConnectedComponents {
       val parents = candidate
         .where(col("cand_cid") =!= col("file_id"))
         .select(col("file_id").as("p_id"), col("cand_cid").as("p_cid"))
+      // changed-count collected DURING the one materialization job via
+      // observe() — no separate convergence-check pass over the labels
+      // (at 10^12 vertices that second scan per round is a real cost)
+      val obs = org.apache.spark.sql.Observation(
+        s"cc_changed_${iter}_${System.nanoTime()}")
       val next = candidate.as("c")
         .join(parents, col("c.cand_cid") === col("p_id"), "left")
         .select(col("c.file_id"),
           coalesce(col("p_cid"), col("c.cand_cid")).as("cluster_id"),
           (coalesce(col("p_cid"), col("c.cand_cid")) =!= col("c.old_cid"))
             .as("changed"))
+        .observe(obs, count(when(col("changed"), 1)).as("changed_n"))
         .localCheckpoint() // ONE materialization per round
 
-      done = next.where(col("changed")).isEmpty // cheap scan of the checkpoint
+      done = obs.get("changed_n").asInstanceOf[Long] == 0L
       labels = next.select("file_id", "cluster_id")
       frontier = next.where(col("changed")).select("file_id", "cluster_id")
       iter += 1
