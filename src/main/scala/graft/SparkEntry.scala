@@ -307,6 +307,31 @@ object SparkEntry {
     Goldens.valuesSql(Seq("media_id", "kind", "feature_sum"), rows)
   }
 
+  /** Merge budget for the BPE driver query (train stops earlier if no
+    * pair repeats).
+    */
+  private val BpeMerges = 200
+
+  /** Determinism-pin oracle for `q_bpe_stats`: expected token counts and
+    * boundary tokens recomputed driver-side from the SAME pure
+    * train/encode functions ([[graft.ops.Bpe]]) over the same corpus
+    * literals — pinning that the distributed path (Spark word-frequency
+    * aggregation + codegen'd `graft_bpe_count`/`graft_bpe_encode`)
+    * reproduces the scalar path row-for-row.
+    */
+  private def bpeStatsOracleSql: String = {
+    import graft.ops.Bpe
+    val wf = Bpe.pureWordFrequencies(Bpe.demoCorpus.map(_._2))
+    val ranks = Bpe.parseMerges(
+      Bpe.mergesAsString(Bpe.train(wf, BpeMerges)))
+    val rows = Bpe.demoCorpus.map { case (id, text) =>
+      val toks = Bpe.encode(text, ranks)
+      (id, toks.length, toks.head, toks.last)
+    }
+    Goldens.valuesSql(
+      Seq("doc_id", "n_bpe_tokens", "first_token", "last_token"), rows)
+  }
+
   /** Flagship: the record-linkage pipeline end-to-end on a synthesized
     * repo-file table (north rule shape); driver smoke-checks rows>0.
     */
@@ -380,6 +405,29 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.subwordCountCol(col("text")).as("n_subwords"))
+    }),
+    // corpus-trained BPE: distributed word-freq agg + driver merge loop
+    // (graft.ops.Bpe), encode/count through the codegen'd expressions.
+    // Runs over the deterministic demo corpus so the oracle can re-derive
+    // expected counts from the SAME pure train/encode functions.
+    "q_bpe_stats" -> ((s, _) => {
+      reg(s)
+      import s.implicits._
+      // RDD-backed so the expressions run on executors (a literal
+      // LocalRelation would be folded driver-side and measure nothing)
+      val docs = s.sparkContext.parallelize(graft.ops.Bpe.demoCorpus, 2)
+        .toDF("doc_id", "text")
+      val merges = graft.ops.Bpe.mergesAsString(
+        graft.ops.Bpe.trainFromCorpus(docs, "text", numMerges = BpeMerges))
+      docs.select(col("doc_id"),
+        call_function("graft_bpe_count", col("text"), lit(merges))
+          .as("n_bpe_tokens"),
+        element_at(
+          call_function("graft_bpe_encode", col("text"), lit(merges)), 1)
+          .as("first_token"),
+        element_at(
+          call_function("graft_bpe_encode", col("text"), lit(merges)), -1)
+          .as("last_token"))
     }),
     "q_lang_dist" -> ((s, dir) => {
       t(s, dir, "documents").groupBy("lang")
@@ -630,6 +678,37 @@ object SparkEntry {
         (st, n, committed && n == n2)
       }.toDF("stage", "rows", "resume_consistent")
     }),
+    // durable-CC kill-and-resume: run the closure loop capped at 2 rounds
+    // with snapshots every 2 (leaves cc_round_2 committed — the "killed
+    // driver" state), then a FRESH TableIO resumes the loop mid-closure
+    // from that snapshot and finishes. The perfect-clustering oracle only
+    // matches if the resumed run converges to exactly the clusters an
+    // uninterrupted run produces.
+    "q_cc_resume" -> ((s, _) => {
+      reg(s)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_cc_resume").toString
+      val files = RepoFiles.generate(s, nFiles = 1000, seed = 42L)
+      val tokens =
+        Tokenizer.pruneCommon(Tokenizer.tokenize(files), knownFileCount = 1000)
+      val edges = Scoring.edges(Scoring.score(
+        Blocking.candidatePairs(Blocking.blockingKeys(tokens))))
+        .localCheckpoint() // one edge materialization shared by both runs
+      val io1 = new graft.io.TableIO(s, dir)
+      val (_, iterKilled) = graft.pipeline.ConnectedComponents.runCounted(
+        s, files.select("file_id"), edges, maxIterations = 2,
+        durable = Some((io1, 2)), lineageToken = "edges-fixture-v1")
+      require(iterKilled == 2 && io1.isCommitted("cc_round_2"),
+        "phase 1 must stop mid-closure with a committed snapshot")
+      val io2 = new graft.io.TableIO(s, dir) // fresh driver over same root
+      graft.pipeline.ConnectedComponents.run(
+        s, files.select("file_id"), edges,
+        durable = Some((io2, 2)), lineageToken = "edges-fixture-v1")
+        .join(files.select("file_id", "entity_id"), "file_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"),
+          countDistinct("entity_id").as("n_families"))
+    }),
     // ---- the linkage pipeline itself (north rule; rows-only) ----
     "q_linkage_clusters" -> ((s, dir) => {
       reg(s)
@@ -691,6 +770,7 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
         |    AS n_subwords
         |FROM documents""".stripMargin,
+    "q_bpe_stats" -> bpeStatsOracleSql,
     "q_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
@@ -800,6 +880,9 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracleSql,
     "q_embedding_dedup" -> embeddingDedupOracleSql,
     "q_linkage_clusters" -> linkageOracleSql,
+    // same perfect-clustering ground truth: a resumed closure must land on
+    // byte-identical clusters
+    "q_cc_resume" -> linkageOracleSql,
     // deterministic stage row counts of the 200-file seed-42 generator;
     // resume_consistent asserts the second TableIO saw committed
     // manifests with identical counts

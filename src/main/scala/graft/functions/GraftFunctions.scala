@@ -165,7 +165,15 @@ object GraftFunctions {
       case Seq(c) => MinHashSignatureExpr(c, 64, 3)
       case Seq(c, n) => MinHashSignatureExpr(c, intLit(n), 3)
       case Seq(c, n, k) => MinHashSignatureExpr(c, intLit(n), intLit(k))
-    }, "graft_minhash_signature(text[, numHashes[, k]]) - MinHash signature of word k-shingles")
+    }, "graft_minhash_signature(text[, numHashes[, k]]) - MinHash signature of word k-shingles"),
+    ("graft_bpe_count", {
+      case Seq(c, m) => BpeCountExpr(c, strLit(m, "merges"))
+    }, "graft_bpe_count(text, merges) - learned-BPE subword token count; " +
+      "merges is the newline-joined table from Bpe.mergesAsString"),
+    ("graft_bpe_encode", {
+      case Seq(c, m) => BpeEncodeExpr(c, strLit(m, "merges"))
+    }, "graft_bpe_encode(text, merges) - learned-BPE subword token stream " +
+      "as array<string>")
   )
 
   /** Wraps a builder so a wrong argument count raises a clear arity error

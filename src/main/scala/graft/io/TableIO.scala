@@ -39,13 +39,17 @@ final class TableIO(spark: SparkSession, root: String) {
   /** Run `compute` and commit its result as `stage`, unless a committed
     * snapshot already exists (resume path). Returns the stage DataFrame.
     *
-    * Staleness guard: a committed stage is only resumed if none of its
-    * named `upstream` stages committed AFTER it — an upstream that was
-    * invalidated and recomputed under the same root would otherwise be
-    * silently paired with this stage's output computed against the OLD
-    * upstream data. Stale stages are invalidated and recomputed.
-    * (Non-stage upstream entries — e.g. lineage tokens — have no
-    * manifest and are ignored.)
+    * Staleness guard: every commit mints an opaque `commit_token`
+    * (UUID), and a downstream stage records the tokens of its named
+    * `upstream` stages in its own manifest at commit time. On resume the
+    * recorded tokens are compared BY EQUALITY against the upstreams'
+    * current tokens — an upstream that was invalidated and recomputed
+    * under the same root (by this driver, a restarted one, or a second
+    * writer host) therefore always invalidates the downstream, with no
+    * dependence on wall-clock ordering across machines (clock skew or a
+    * same-instant recommit cannot make a stale stage look fresh). Stale
+    * stages are invalidated and recomputed. (Non-stage upstream entries
+    * have no manifest on either side of the comparison and are ignored.)
     */
   def stage(
       stage: String,
@@ -53,13 +57,21 @@ final class TableIO(spark: SparkSession, root: String) {
       partitionBy: Seq[String] = Nil,
       metadata: Map[String, String] = Map.empty)(
       compute: => DataFrame): DataFrame = {
+    requireManifestSafe("stage name", stage)
+    upstream.foreach(requireManifestSafe("upstream name", _))
+    metadata.foreach { case (k, v) =>
+      requireManifestSafe("metadata key", k)
+      requireManifestSafe(s"metadata value of '$k'", v)
+    }
     if (isCommitted(stage)) {
-      val mine = committedAt(stage).map(java.time.Instant.parse)
-      val staleUpstream = upstream.exists { u =>
-        committedAt(u).map(java.time.Instant.parse).exists(upAt =>
-          mine.exists(_.isBefore(upAt)))
+      val stale = upstream.exists { u =>
+        // None == None (never a stage) is fresh; any other mismatch —
+        // recomputed upstream (different token), upstream invalidated
+        // since (Some -> None), or upstream committed where none existed
+        // when this stage ran (None -> Some) — is stale
+        committedToken(u) != upstreamTokenOf(stage, u)
       }
-      if (!staleUpstream) return read(stage)
+      if (!stale) return read(stage)
       invalidate(stage)
     }
 
@@ -91,16 +103,24 @@ final class TableIO(spark: SparkSession, root: String) {
 
     val elapsedMs = (System.nanoTime() - t0) / 1000000
     val metaJson = metadata.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString(",")
+    // opaque per-commit identity + the upstream tokens this output was
+    // computed against — the staleness guard compares these by equality
+    val commitToken = java.util.UUID.randomUUID().toString
+    val upTokens = upstream.sorted.distinct
+      .flatMap(u => committedToken(u).map(t => "\"" + u + "\":\"" + t + "\""))
       .mkString(",")
     val manifest =
-      s"""{"stage":"${esc(stage)}","rows":$rows,"files":$nFiles,
+      s"""{"stage":"$stage","rows":$rows,"files":$nFiles,
          |"bytes":$totalBytes,
          |"file_bytes":{"min":${if (nFiles == 0) 0L else sizes.head},
          |"mean":${if (nFiles == 0) 0L else totalBytes / nFiles},
          |"max":${if (nFiles == 0) 0L else sizes.last}},
          |"rows_per_sec":${if (elapsedMs == 0) 0 else rows * 1000 / elapsedMs},
-         |"upstream":[${upstream.map(u => "\"" + esc(u) + "\"").mkString(",")}],
+         |"upstream":[${upstream.map(u => "\"" + u + "\"").mkString(",")}],
+         |"upstream_tokens":{$upTokens},
+         |"commit_token":"$commitToken",
          |"metadata":{$metaJson},
          |"elapsed_ms":$elapsedMs,
          |"committed_at":"${java.time.Instant.now()}"}""".stripMargin
@@ -151,15 +171,51 @@ final class TableIO(spark: SparkSession, root: String) {
       "\"committed_at\":\"([^\"]+)\"".r.findFirstMatchIn(m).map(_.group(1))
     }
 
+  /** Opaque identity of a stage's current commit (a fresh UUID per
+    * commit). Downstream durable state records this and refuses to
+    * resume on mismatch — unlike [[committedAt]] ordering, equality of
+    * opaque tokens is immune to clock skew between writers and to two
+    * commits landing on the same instant.
+    */
+  def committedToken(stage: String): Option[String] =
+    manifest(stage).flatMap { m =>
+      "\"commit_token\":\"([^\"]*)\"".r.findFirstMatchIn(m).map(_.group(1))
+    }
+
+  /** The upstream commit token recorded in `stage`'s manifest when it was
+    * computed (absent for non-stage upstream entries and for upstreams
+    * that were uncommitted at the time).
+    */
+  private def upstreamTokenOf(stage: String, up: String): Option[String] =
+    manifest(stage).flatMap { m =>
+      ("\"upstream_tokens\":\\{[^}]*\"" +
+        java.util.regex.Pattern.quote(up) +
+        "\":\"([^\"]*)\"").r.findFirstMatchIn(m).map(_.group(1))
+    }
+
   /** A caller-supplied metadata value recorded at commit time (e.g. the
     * input-lineage token the connected-components loop snapshots stamp
-    * themselves with).
+    * themselves with). Keys and values are validated at [[stage]] time
+    * to contain none of `"`/`}`/`\` — the characters that would derail
+    * this single-object scan — so the regex parse is sound for every
+    * manifest this class can produce.
     */
   def metadataOf(stage: String, key: String): Option[String] =
     manifest(stage).flatMap { m =>
       ("\"metadata\":\\{[^}]*\"" + java.util.regex.Pattern.quote(key) +
         "\":\"([^\"]*)\"").r.findFirstMatchIn(m).map(_.group(1))
     }
+
+  /** Reject strings that would break the manifest's JSON layout or its
+    * regex readers: '"' and '\' corrupt/escape string literals, '}' ends
+    * the single-level object scans early. Stage names double as
+    * filesystem path segments, so '/' is rejected there implicitly by
+    * the same contract (callers use flat names).
+    */
+  private def requireManifestSafe(what: String, s: String): Unit =
+    require(!s.exists(c => c == '"' || c == '\\' || c == '}'),
+      s"""$what "$s" contains one of the manifest-unsafe characters """ +
+        """'"', '\', '}'""")
 
   def manifest(stage: String): Option[String] =
     if (isCommitted(stage)) {
@@ -169,6 +225,4 @@ final class TableIO(spark: SparkSession, root: String) {
         StandardCharsets.UTF_8))
       finally in.close()
     } else None
-
-  private def esc(s: String): String = s.replace("\"", "\\\"")
 }

@@ -373,7 +373,11 @@ object Multimodal {
         off += 8 + size + (size & 1) // chunks are word-aligned
       }
     }
-    walk(12, math.min(payload.length, 8 + u32(4).toInt))
+    // Long arithmetic end-to-end: a declared RIFF size near 2^31-8 would
+    // overflow `8 + toInt` to a NEGATIVE bound, silently no-op the walk
+    // and return an all-zero feature vector (poisoning frame dedup)
+    // instead of failing the frame-count check below
+    walk(12, math.min(payload.length.toLong, 8L + u32(4)).toInt)
     // the header-declared frame count must agree with the frames actually
     // present — a silently truncated movi list would otherwise decode to a
     // plausible-but-wrong feature vector and poison frame-level dedup

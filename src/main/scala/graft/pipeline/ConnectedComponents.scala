@@ -53,7 +53,7 @@ object ConnectedComponents {
     * @param durable optional (TableIO, k): commit a durable loop snapshot
     *   every k rounds and resume from the newest committed one.
     * @param lineageToken fingerprint of the INPUT graph (e.g. the edges
-    *   stage manifest's `committedAt`). Snapshots are stamped with it;
+    *   stage manifest's opaque `commit_token`). Snapshots are stamped with it;
     *   a snapshot whose stamp differs from the current token was computed
     *   against a different graph (upstream recomputed, or a shared TableIO
     *   root reused with new data) and is discarded instead of resumed —

@@ -61,15 +61,17 @@ final class LinkagePipeline(
     val clusters = io.stage("clusters", upstream = Seq("edges", "input")) {
       // durable loop snapshots every 8 rounds: a mid-closure kill resumes
       // the loop from the newest snapshot instead of replaying all rounds.
-      // Snapshots are stamped with the edges stage's commit timestamp so a
-      // snapshot computed against a since-recomputed edge set is discarded
-      // instead of silently resumed.
+      // Snapshots are stamped with the edges stage's opaque commit token
+      // (not its timestamp — equality of tokens is immune to clock skew
+      // between writer hosts) so a snapshot computed against a
+      // since-recomputed edge set is discarded instead of silently
+      // resumed.
       ConnectedComponents.run(
         spark,
         input.select("file_id"),
         edges,
         durable = Some((io, 8)),
-        lineageToken = io.committedAt("edges").getOrElse(""))
+        lineageToken = io.committedToken("edges").getOrElse(""))
     }
 
     // output partitioned by lang (low cardinality): downstream consumers

@@ -71,30 +71,45 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
-  test("block-size cap uses aggregate + broadcast anti-join, not a per-key window") {
+  test("block sizing uses aggregate + broadcast join, not a per-key window") {
     import spark.implicits._
     val keys = Seq((1L, "a", "sx:X100"), (2L, "b", "sx:X100"))
       .toDF("file_id", "token", "key")
     val df = graft.pipeline.Blocking.candidatePairs(keys)
     val p = plan(df)
-    // exactly one Window (the sorted-neighborhood lead()) — the size cap
-    // must NOT add a count-over-partitionBy(key) window that single-tasks
-    // each hot block
+    // exactly one Window (the sorted-neighborhood lead()) — the size
+    // tiers must NOT add a count-over-partitionBy(key) window that
+    // single-tasks each hot block
     val windows = p.linesIterator.count(_.contains("Window ["))
     assert(windows == 1, s"expected 1 window (sorted-neighborhood), got $windows\n$p")
-    assert(p.contains("LeftAnti") && p.contains("Broadcast"), p)
+    // the oversized-key side (tiny by construction) broadcasts; the full
+    // key table is never shuffled for the sizing join
+    assert(p.contains("Broadcast"), p)
   }
 
-  test("degenerate hot block is dropped; normal pairs survive") {
+  test("degenerate hot block is dropped; oversized blocks split and keep pairing") {
     import spark.implicits._
     val hot = (0 until 300).map(i => (1000L + i, s"tok$i", "cv:111111"))
     val normal = Seq((1L, "smith", "sx:S530"), (2L, "smyth", "sx:S530"))
     val keys = (hot ++ normal).toDF("file_id", "token", "key")
-    val pairs = graft.pipeline.Blocking
-      .candidatePairs(keys, maxBlockSize = 100)
+    // degenerate tier: 300 rows > degenerateBlockSize=150 -> the hot
+    // block dies wholesale, only the normal pair survives
+    val dropped = graft.pipeline.Blocking
+      .candidatePairs(keys, maxBlockSize = 100, degenerateBlockSize = 150)
       .collect()
-    assert(pairs.length == 1)
-    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(dropped.length == 1)
+    assert(dropped.head.getLong(0) == 1L && dropped.head.getLong(1) == 2L)
+    // split tier: with the default degenerate threshold the same block is
+    // salted into ceil(300/100)=3 segments — pairs ARE produced (a
+    // legitimately common key no longer loses all recall) but volume
+    // stays <= rows x window
+    val split = graft.pipeline.Blocking
+      .candidatePairs(keys, maxBlockSize = 100)
+    val hotPairs = split
+      .where(col("src") >= 1000L || col("dst") >= 1000L).count()
+    assert(hotPairs > 0, "split block must still produce candidate pairs")
+    assert(hotPairs <= 300L * 3,
+      s"split block pair volume must stay O(rows x window), got $hotPairs")
   }
 
   test("ngram-jaccard joins on (lang, id-bucket), not lang alone") {

@@ -90,6 +90,56 @@ class TableIOSpec extends AnyFunSuite {
     assert(b2.count() == 7)
   }
 
+  test("staleness is judged by opaque commit tokens, not wall-clock order") {
+    import spark.implicits._
+    val io = new TableIO(spark, tmpDir())
+    io.stage("a") { (1 to 3).toDF("n") }
+    val tok1 = io.committedToken("a")
+    assert(tok1.exists(_.nonEmpty), "every commit must mint a token")
+    io.stage("b", upstream = Seq("a")) { io.read("a") }
+    // the downstream manifest records the upstream token it was computed
+    // against — the equality the guard compares
+    val mb = io.manifest("b").get
+    assert(mb.contains("\"upstream_tokens\":{\"a\":\"" + tok1.get + "\"}"), mb)
+    // recommit the upstream back-to-back (same wall-clock millisecond is
+    // possible — the failure mode Instant ordering could not see): the
+    // token MUST change and the downstream MUST recompute
+    io.invalidate("a")
+    io.stage("a") { (1 to 9).toDF("n") }
+    val tok2 = io.committedToken("a")
+    assert(tok2.isDefined && tok2 != tok1,
+      "a recommit must mint a DIFFERENT token")
+    var recomputed = false
+    val b2 = io.stage("b", upstream = Seq("a")) {
+      recomputed = true; io.read("a")
+    }
+    assert(recomputed, "token mismatch must invalidate the downstream")
+    assert(b2.count() == 9)
+  }
+
+  test("manifest-unsafe metadata and stage names are rejected at stage()") {
+    import spark.implicits._
+    val io = new TableIO(spark, tmpDir())
+    // '}' in a value would end the metadata object scan early; '"' would
+    // truncate the capture — both must fail loudly instead of committing
+    // a manifest later reads return wrong values from
+    intercept[IllegalArgumentException] {
+      io.stage("m1", metadata = Map("k" -> "v}x")) { (1 to 2).toDF("n") }
+    }
+    intercept[IllegalArgumentException] {
+      io.stage("m2", metadata = Map("k\"" -> "v")) { (1 to 2).toDF("n") }
+    }
+    intercept[IllegalArgumentException] {
+      io.stage("bad\"name") { (1 to 2).toDF("n") }
+    }
+    // safe metadata round-trips exactly
+    io.stage("m3", metadata = Map("lineage" -> "tok-1", "z" -> "2")) {
+      (1 to 2).toDF("n")
+    }
+    assert(io.metadataOf("m3", "lineage").contains("tok-1"))
+    assert(io.metadataOf("m3", "z").contains("2"))
+  }
+
   test("upstream lineage is recorded") {
     import spark.implicits._
     val io = new TableIO(spark, tmpDir())

@@ -539,6 +539,16 @@ class MultimodalSpec extends AnyFunSuite {
     malformed(18) = 0xFF.toByte; malformed(19) = 0x7F.toByte
     val mf = Multimodal.decodeVideo(malformed, 4)
     assert(mf(0) == 0f, "malformed stream must decode to zero frames")
+    // a declared RIFF size >= 2^31-8 must not overflow the Int walk bound
+    // to a negative end (which would silently no-op the walk and return an
+    // all-zero vector): the bound clamps to the actual buffer and the
+    // frames still decode
+    val hugeDecl = avi2.clone()
+    hugeDecl(4) = 0xFF.toByte; hugeDecl(5) = 0xFF.toByte
+    hugeDecl(6) = 0xFF.toByte; hugeDecl(7) = 0xFF.toByte
+    val hf = Multimodal.decodeVideo(hugeDecl, 4)
+    assert(hf(0) == 2f,
+      s"huge declared RIFF size dodged the walk (frames=${hf(0)})")
     // junk bytes fail loudly (a silent fake vector would poison dedup)
     intercept[Exception](Multimodal.decodeVideo(Array[Byte](1, 2, 3), 4))
     intercept[Exception](Multimodal.decodeAudio(Array.fill[Byte](64)(0), 3))
