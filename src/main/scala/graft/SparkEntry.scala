@@ -108,33 +108,61 @@ object SparkEntry {
     * must match the query (numHashes=32, bands=8, k=3, threshold 0.5).
     */
   private def minhashOracleSql: String =
-    minhashOracleSqlOver("documents", crossBatchOnly = false)
+    minhashOracleSqlOver("documents", streamingRules = false)
 
   /** The minhash pair oracle parameterized over its source relation:
     * `documents` for the batch op; a VALUES literal of the streaming
-    * fixture (with a `batch` column and `crossBatchOnly`) for the
-    * streaming op, whose deterministic links are exactly the cross-batch
-    * near-dup pairs.
+    * fixture (with batch + event-time columns and `streamingRules`) for
+    * the streaming op, whose deterministic links are the cross-batch
+    * near-dup pairs that also satisfy the event-time rules (arrival not
+    * late, member's bucket still within TTL of the arrival watermark —
+    * bucket activity renews on every non-late co-bucketed arrival).
     */
   private def minhashOracleSqlOver(
-      docsFrom: String, crossBatchOnly: Boolean): String = {
+      docsFrom: String, streamingRules: Boolean): String = {
     import graft.functions.MinHashFunctions.{coeffA, coeffB, M61}
+    import graft.streaming.StreamingDriverQueries.TtlSeconds
     val numHashes = 32; val bands = 8; val rows = numHashes / bands
-    val bcol = if (crossBatchOnly) ", batch" else ""
-    val bcond = if (crossBatchOnly) " AND a.batch <> b.batch" else ""
+    val bcol = if (streamingRules) ", batch, ts, wm" else ""
+    val bcond = if (streamingRules) " AND a.batch < b.batch" else ""
     val sigTerms = (0 until numHashes).map(i =>
       s"list_min(list_transform(hv, h -> ((${coeffA(i)}::HUGEINT * h + " +
         s"${coeffB(i)}) % $M61)::BIGINT))")
       .mkString("[\n  ", ",\n  ", "\n  ]")
-    val bandChecks = (0 until bands).map(b =>
-      s"(sa[${b * rows + 1}:${b * rows + rows}] = " +
-        s"sb[${b * rows + 1}:${b * rows + rows}])").mkString(" OR ")
+    def bandCheck(x: String, y: String): String =
+      (0 until bands).map(b =>
+        s"($x[${b * rows + 1}:${b * rows + rows}] = " +
+          s"$y[${b * rows + 1}:${b * rows + rows}])").mkString("(", " OR ", ")")
     val agree = s"len(list_filter(range(1, ${numHashes + 1}), " +
       s"i -> sa[i] = sb[i]))::DOUBLE / $numHashes"
-    s"""WITH docs AS (SELECT doc_id$bcol,
+    // streaming time rules: per-row watermark (max prior-batch event
+    // time, delay 0), late rows excluded everywhere, and the member's
+    // bucket must have a non-late co-bucketed row (itself included)
+    // within TTL of the arrival's watermark — the declarative mirror of
+    // "state lastTs renews on arrival, expires at read past the TTL"
+    val srcCtes =
+      if (!streamingRules) ""
+      else
+        s"""docsrc AS (SELECT * FROM $docsFrom),
+           |wms AS (SELECT d.*,
+           |    coalesce((SELECT max(p.ts) FROM docsrc p
+           |      WHERE p.batch < d.batch), -9223372036854775807) AS wm
+           |  FROM docsrc d),
+           |""".stripMargin
+    val src = if (streamingRules) "(SELECT * FROM wms WHERE ts >= wm)" else docsFrom
+    val aliveCond =
+      if (!streamingRules) ""
+      else
+        s"""
+           | AND EXISTS (SELECT 1 FROM sig r
+           |   WHERE r.batch < b_batch
+           |     AND (r.doc_id = id_a OR ${bandCheck("r.sg", "sa")})
+           |     AND r.ts + $TtlSeconds >= b_wm)""".stripMargin
+    val candExtra = if (streamingRules) ", b.batch AS b_batch, b.wm AS b_wm" else ""
+    s"""WITH ${srcCtes}docs AS (SELECT doc_id$bcol,
        |    regexp_extract_all(lower(text),
        |      '${graft.functions.Tokens.TokenPatternRe2}') AS words
-       |  FROM $docsFrom),
+       |  FROM $src),
        |sh AS (SELECT doc_id$bcol,
        |    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
        |    ELSE list_transform(range(0, len(words)-2),
@@ -144,43 +172,59 @@ object SparkEntry {
        |    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT) AS hv FROM sh),
        |sig AS (SELECT doc_id$bcol, $sigTerms AS sg FROM hs),
        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    a.sg AS sa, b.sg AS sb
+       |    a.sg AS sa, b.sg AS sb$candExtra
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id$bcond)
        |SELECT id_a, id_b, round($agree, 6) AS est_jaccard
-       |FROM cand WHERE ($bandChecks) AND round($agree, 6) >= 0.5""".stripMargin
+       |FROM cand WHERE ${bandCheck("sa", "sb")}
+       |  AND round($agree, 6) >= 0.5$aliveCond""".stripMargin
   }
 
   /** VALUES literal of the streaming fixture docs with their micro-batch
-    * index, shared by the streaming dedup/near-dup oracles.
+    * index and event time, shared by the streaming dedup/near-dup
+    * oracles.
     */
   private def streamingDocsValues: String = {
-    import graft.streaming.StreamingDriverQueries.{docsBatch1, docsBatch2}
-    val rows =
-      docsBatch1.map { case (id, t) => (id, 1, t) } ++
-        docsBatch2.map { case (id, t) => (id, 2, t) }
-    rows.map { case (id, b, t) => s"($id, $b, ${Goldens.sqlStr(t)})" }
-      .mkString(", ")
+    import graft.streaming.StreamingDriverQueries.docBatches
+    docBatches.zipWithIndex.flatMap { case (b, i) =>
+      b.map { case (id, t, ts) =>
+        s"($id, ${i + 1}, $ts, ${Goldens.sqlStr(t)})"
+      }
+    }.mkString(", ")
   }
 
-  /** DuckDB recompute of streaming exact dedup: a row survives iff no
-    * same-fingerprint row arrived in an EARLIER micro-batch (the fixture
-    * guarantees no same-batch duplicates, so first-seen is well defined).
-    * Fingerprint = the same md5(whitespace-collapsed lowercase) column as
-    * batch `q_fingerprint`.
+  private def streamingDocsFrom: String =
+    s"(VALUES $streamingDocsValues) AS docsrc(doc_id, batch, ts, text)"
+
+  /** DuckDB recompute of streaming exact dedup under full event-time
+    * semantics: per-row watermark = max prior-batch event time minus the
+    * TTL delay; LATE rows (ts below watermark) are dropped outright; a
+    * non-late row survives iff no same-fingerprint row arrived in an
+    * earlier batch whose dedup state is still live (its newest arrival's
+    * event time + TTL has not been passed by the watermark — arrivals
+    * extend expiry, so the in-window duplicate doc 4 extends doc 1's
+    * state, and the post-TTL revisit doc 7 passes through). Fingerprint =
+    * the same md5(whitespace-collapsed lowercase) column as batch
+    * `q_fingerprint`.
     */
-  private def streamingDedupOracleSql: String =
-    s"""WITH docsrc(doc_id, batch, text) AS (VALUES $streamingDocsValues),
-       |fp AS (SELECT doc_id, batch, text,
+  private def streamingDedupOracleSql: String = {
+    import graft.streaming.StreamingDriverQueries.TtlSeconds
+    s"""WITH docsrc AS (SELECT * FROM $streamingDocsFrom),
+       |wms AS (SELECT d.*,
+       |    coalesce((SELECT max(p.ts) FROM docsrc p
+       |      WHERE p.batch < d.batch) - $TtlSeconds,
+       |      -9223372036854775807) AS wm
+       |  FROM docsrc d),
+       |acc AS (SELECT *,
        |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
-       |  FROM docsrc)
-       |SELECT a.doc_id, a.text FROM fp a
+       |  FROM wms WHERE ts >= wm)
+       |SELECT a.doc_id, a.text FROM acc a
        |WHERE NOT EXISTS (
-       |  SELECT 1 FROM fp b WHERE b.f = a.f AND b.batch < a.batch)""".stripMargin
+       |  SELECT 1 FROM acc b WHERE b.f = a.f AND b.batch < a.batch
+       |    AND b.ts + $TtlSeconds >= a.wm)""".stripMargin
+  }
 
   private def streamingNearDupOracleSql: String =
-    minhashOracleSqlOver(
-      s"(VALUES $streamingDocsValues) AS docsrc(doc_id, batch, text)",
-      crossBatchOnly = true)
+    minhashOracleSqlOver(streamingDocsFrom, streamingRules = true)
 
   /** DuckDB SimHash oracle: same md5-60-bit token-hash spec and per-bit
     * majority vote as [[Dedup.simhash]].
@@ -895,8 +939,12 @@ object SparkEntry {
     // STATIC expected edges, derived from reference semantics (not from
     // this library's own functions, which would be circular): smith/smyth
     // co-block and cluster-match because commons-codec Metaphone encodes
-    // both to "SM0" (golden-pinned in q_metaphone's vectors); jones and
-    // wilson match nothing. StreamingLinkageSpec asserts the library's own
+    // both to "SM0" (golden-pinned in q_metaphone's vectors) and smyth
+    // arrives in-window (t=1050, TTL 100); jones and wilson match
+    // nothing; smythe (t=2050) WOULD match but the smith/smyth block is
+    // TTL-expired by the watermark-advancing t=2000 event — no edge; and
+    // smithe (t=1500 in batch 4) is LATE below the 2050 watermark — no
+    // edge, no state. StreamingLinkageSpec asserts the library's own
     // scalar recompute (expectedLinkageEdges) agrees with this list, so
     // fixture/oracle drift fails the build before it fails the driver.
     "q_streaming_linkage" ->

@@ -136,4 +136,29 @@ object SimilaritySearch {
       .withColumn("cos_sim", round(cosine(col("vec"), col("qvec")), 6))
     topKPerQuery(scored, k)
   }
+
+  /** Number of distinct (query, vector) candidates the banded LSH would
+    * score — the cost side of the recall/cost tradeoff the RecallBench
+    * puts on the measured record.
+    */
+  def lshCandidateCount(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nPlanes: Int = 12,
+      bands: Int = 4): Long = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    def banded(df: DataFrame, idAs: String) =
+      df.select(col(idCol).as(idAs),
+        posexplode(call_function("graft_lsh_signatures", col(vecCol),
+          lit(dim), lit(nPlanes), lit(bands), lit(0))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "sig")
+    banded(vectors, "vec_id")
+      .join(broadcast(banded(queries, "query_id")), Seq("band", "sig"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct().count()
+  }
 }

@@ -8,9 +8,14 @@ import graft.ops.TextAnalysis
 
 /** A band bucket's remembered member: doc id + full MinHash signature, so
   * an arrival's estimated Jaccard against it needs no re-tokenization.
+  * `lastTs` is the bucket's newest event time — checked against the
+  * watermark at READ time, so members past the TTL can never link even
+  * when the state-store timeout has not fired yet (a group receiving
+  * data in the same micro-batch its timeout would fire in is delivered
+  * WITH its stale state — the read-time check closes that race).
   */
 final case class BucketMember(doc_id: Long, sig: Seq[Long])
-final case class BucketState(members: Seq[BucketMember])
+final case class BucketState(members: Seq[BucketMember], lastTs: Long)
 
 /** Near-duplicate candidate link between a new arrival and an earlier doc
   * sharing at least one MinHash band bucket. May be emitted once per
@@ -37,11 +42,25 @@ object StreamingDedup {
   /** events(doc_id, text) -> first-seen rows only, duplicates within the
     * watermark window dropped. Output schema equals the input schema: the
     * internal fingerprint and ingest-timestamp columns are both dropped.
+    *
+    * @param eventTimeCol when set, that input column (castable to
+    *   timestamp) is the event time the watermark advances on — the
+    *   production shape, where late/out-of-order data is defined by the
+    *   source's clock. Late rows (event time below the watermark) are
+    *   dropped by the engine; duplicates arriving after the TTL pass
+    *   through (their state was evicted) — both are the documented
+    *   batch-pass-catches-it tradeoff. Defaults to processing-time
+    *   stamping for sources with no event-time column.
     */
-  def dedupe(events: DataFrame, ttlSeconds: Long = 3600L): DataFrame =
+  def dedupe(
+      events: DataFrame,
+      ttlSeconds: Long = 3600L,
+      eventTimeCol: Option[String] = None): DataFrame =
     events
       .withColumn("fp", TextAnalysis.fingerprintCol(col("text")))
-      .withColumn("ingest_ts", current_timestamp())
+      .withColumn("ingest_ts",
+        eventTimeCol.map(c => col(c).cast("timestamp"))
+          .getOrElse(current_timestamp()))
       .withWatermark("ingest_ts", s"$ttlSeconds seconds")
       .dropDuplicatesWithinWatermark("fp")
       .drop("ingest_ts", "fp")
@@ -72,67 +91,83 @@ object StreamingDedup {
       bands: Int = 8,
       minJaccard: Double = 0.5,
       maxBucketSize: Int = 100,
-      stateTtl: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[NearDupLink] = {
+      stateTtl: java.time.Duration = java.time.Duration.ofHours(1),
+      eventTimeCol: Option[String] = None): Dataset[NearDupLink] = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
     val spark = events.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
 
+    val tsCol = eventTimeCol.map(c => col(c).cast("timestamp"))
+      .getOrElse(current_timestamp())
     val banded = events
-      .select(col("doc_id"),
+      .select(col("doc_id"), tsCol.as("ts"),
         graft.functions.MinHash.signature(col("text"), numHashes).as("sig"))
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id"), col("ts"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws("_",
             slice(col("sig"), b * rows + 1, lit(rows))), b.cast("string")))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-      .withColumn("ts", current_timestamp())
       .withWatermark("ts", "0 seconds")
-      .as[(Long, Seq[Long], Int, Long, java.sql.Timestamp)]
+      .as[(Long, java.sql.Timestamp, Seq[Long], Int, Long)]
 
     val ttlMs = stateTtl.toMillis
 
     banded
-      .groupByKey(r => (r._3, r._4))
+      .groupByKey(r => (r._4, r._5))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
         (_: (Int, Long),
-            rws: Iterator[(Long, Seq[Long], Int, Long, java.sql.Timestamp)],
+            rws: Iterator[(Long, java.sql.Timestamp, Seq[Long], Int, Long)],
             state: GroupState[BucketState]) => {
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var members =
-              state.getOption.map(_.members.toVector).getOrElse(Vector.empty)
+            val wm = state.getCurrentWatermarkMs()
+            // read-time TTL: a bucket whose last activity is beyond the
+            // TTL horizon is expired EVEN IF new data arrived in the same
+            // micro-batch its timeout would have fired in (groups with
+            // data are delivered with hasTimedOut=false and their old
+            // state intact — without this check a stale member could
+            // still link)
+            val priorLast = state.getOption.map(_.lastTs).getOrElse(0L)
+            var members = state.getOption
+              .filter(_ => wm <= priorLast + ttlMs)
+              .map(_.members.toVector).getOrElse(Vector.empty)
             val out = Vector.newBuilder[NearDupLink]
-            var maxTs = 0L
-            rws.foreach { case (id, sig, _, _, ts) =>
-              if (ts.getTime > maxTs) maxTs = ts.getTime
-              members.foreach { m =>
-                if (m.doc_id != id) {
-                  var agree = 0
-                  var i = 0
-                  while (i < sig.length) {
-                    if (sig(i) == m.sig(i)) agree += 1
-                    i += 1
+            var maxTs = if (members.isEmpty) 0L else priorLast
+            rws.foreach { case (id, ts, sig, _, _) =>
+              // late rows (event time below the watermark) neither link
+              // nor enter state — deterministic mirror of the engine's
+              // late-row filtering; at-horizon linkage is the batch
+              // pass's job over the archived table
+              if (ts.getTime >= wm) {
+                if (ts.getTime > maxTs) maxTs = ts.getTime
+                members.foreach { m =>
+                  if (m.doc_id != id) {
+                    var agree = 0
+                    var i = 0
+                    while (i < sig.length) {
+                      if (sig(i) == m.sig(i)) agree += 1
+                      i += 1
+                    }
+                    val est = BigDecimal(agree.toDouble / sig.length)
+                      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                    if (est >= minJaccard)
+                      out += NearDupLink(
+                        math.min(id, m.doc_id), math.max(id, m.doc_id), est)
                   }
-                  val est = BigDecimal(agree.toDouble / sig.length)
-                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-                  if (est >= minJaccard)
-                    out += NearDupLink(
-                      math.min(id, m.doc_id), math.max(id, m.doc_id), est)
+                }
+                if (members.size < maxBucketSize &&
+                    !members.exists(_.doc_id == id)) {
+                  members = members :+ BucketMember(id, sig)
                 }
               }
-              if (members.size < maxBucketSize &&
-                  !members.exists(_.doc_id == id)) {
-                members = members :+ BucketMember(id, sig)
-              }
             }
-            state.update(BucketState(members))
-            val wm = state.getCurrentWatermarkMs()
+            state.update(BucketState(members, maxTs))
             state.setTimeoutTimestamp(math.max(maxTs, wm + 1) + ttlMs)
             out.result().iterator
           }

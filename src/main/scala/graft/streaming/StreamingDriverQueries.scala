@@ -3,16 +3,29 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-/** Deterministic two-micro-batch MemoryStream runs of the streaming ops,
+/** Deterministic multi-micro-batch MemoryStream runs of the streaming ops,
   * shaped as driver contract queries (`SparkEntry.queries` entries) so the
   * stateful streaming machinery gets the same independent-oracle
   * correctness gate as every batch operator.
   *
+  * Every event carries an EXPLICIT event time (seconds), so the fixtures
+  * pin the full event-time semantics, not just cross-batch state:
+  *  - batch 2 contains in-window arrivals (links/dups resolve against
+  *    batch-1 state) plus a far-future event that advances the watermark
+  *    past every batch-1/2 block's TTL;
+  *  - batch 3 contains a fresh-timestamped revisit of batch-1 content —
+  *    its state was TTL-expired, so it must NOT link (near-dup/linkage)
+  *    and must pass THROUGH exact dedup (its fingerprint state is gone);
+  *  - batch 3/4 also carry a LATE event (event time below the watermark):
+  *    it must contribute nothing — dropped by the engine's late-row
+  *    filter (exact dedup) or by the ops' explicit late guard.
+  *
   * Determinism rules the fixtures obey:
-  *  - no two documents in the SAME micro-batch are exact- or near-dups of
-  *    each other (within-batch arrival order inside a state group is not
-  *    defined, so only cross-batch links are deterministic);
-  *  - every duplicate/variant arrives in batch 2, its original in batch 1,
+  *  - no two documents in the SAME micro-batch are exact-/near-dups (or
+  *    cluster-matching co-blockers) of each other — within-batch arrival
+  *    order inside a state group is not defined, so only cross-batch
+  *    links are deterministic;
+  *  - every duplicate/variant arrives in a LATER batch than its original,
   *    so "first seen wins" has exactly one right answer;
   *  - per-pair multi-emissions (one link per shared band / blocking key —
   *    documented at-least-once semantics) are collapsed AFTER collection
@@ -21,59 +34,98 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   */
 object StreamingDriverQueries {
 
-  /** Batch-1 documents: mutually unrelated. */
-  val docsBatch1: Seq[(Long, String)] = Seq(
-    1L -> ("the quick brown fox jumps over the lazy dog and runs far away " +
-      "into the deep green forest while nobody watches it"),
-    2L -> ("distributed query engines shuffle large partitioned datasets " +
+  /** State TTL (linkage/near-dup) and exact-dedup watermark delay, in
+    * seconds — the time ruler of every fixture below.
+    */
+  val TtlSeconds = 100L
+
+  /** Batch-1 documents (t=1000): mutually unrelated. */
+  val docsBatch1: Seq[(Long, String, Long)] = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest while nobody watches it", 1000L),
+    (2L, "distributed query engines shuffle large partitioned datasets " +
       "across many executor nodes and spill intermediate results to local " +
-      "disk when memory fills"),
-    3L -> "a completely standalone short note about nothing in particular")
+      "disk when memory fills", 1000L),
+    (3L, "a completely standalone short note about nothing in particular",
+      1000L))
 
-  /** Batch-2 documents: 4 is a formatting variant of 1 (same fingerprint
-    * AND identical token stream, so it is both an exact dup and an
-    * est-Jaccard-1.0 near-dup); 5 is a one-word edit of 2 (near-dup only);
-    * 6 is fresh.
+  /** Batch-2 documents: 4 (t=1050, in-window) is a formatting variant of
+    * 1 (same fingerprint AND identical token stream — both an exact dup
+    * and an est-Jaccard-1.0 near-dup); 5 (t=1050) is a one-word edit of 2
+    * (near-dup only); 6 is fresh; 9 (t=2000) is fresh content whose far
+    * event time advances the watermark past every batch-1/2 state's TTL.
     */
-  val docsBatch2: Seq[(Long, String)] = Seq(
-    4L -> ("  The   QUICK brown fox jumps over the lazy dog and runs far " +
-      "away into the deep green forest while nobody watches it "),
-    5L -> ("distributed query engines shuffle large partitioned datasets " +
+  val docsBatch2: Seq[(Long, String, Long)] = Seq(
+    (4L, "  The   QUICK brown fox jumps over the lazy dog and runs far " +
+      "away into the deep green forest while nobody watches it ", 1050L),
+    (5L, "distributed query engines shuffle large partitioned datasets " +
       "across many executor machines and spill intermediate results to " +
-      "local disk when memory fills"),
-    6L -> "fresh unrelated content mentioning entirely new things altogether")
+      "local disk when memory fills", 1050L),
+    (6L, "fresh unrelated content mentioning entirely new things altogether",
+      1050L),
+    (9L, "watermark advancing sentinel document with deliberately unique " +
+      "words nowhere else in this fixture corpus", 2000L))
 
-  /** Batch-1 token events for streaming linkage. */
-  val tokensBatch1: Seq[(Long, String)] = Seq(
-    100L -> "smith", 200L -> "jones")
-
-  /** Batch-2 token events: smyth co-blocks and cluster-matches smith
-    * (Metaphone equality); wilson matches nothing.
+  /** Batch-3 documents (watermark now 2000 - delay): 7 (t=2100) is
+    * ANOTHER formatting variant of 1 arriving after the TTL — exact dedup
+    * must emit it (fingerprint state evicted) and near-dup must NOT link
+    * it (bucket members expired); 8 (t=1200) is fresh content arriving
+    * LATE (below the watermark) — it must contribute nothing at all.
     */
-  val tokensBatch2: Seq[(Long, String)] = Seq(
-    300L -> "smyth", 400L -> "wilson")
+  val docsBatch3: Seq[(Long, String, Long)] = Seq(
+    (7L, "THE QUICK  brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest while nobody watches it", 2100L),
+    (8L, "late arriving unique content that the watermark already passed",
+      1200L))
+
+  val docBatches: Seq[Seq[(Long, String, Long)]] =
+    Seq(docsBatch1, docsBatch2, docsBatch3)
+
+  /** Batch-1 token events (t=1000). */
+  val tokensBatch1: Seq[(Long, String, Long)] = Seq(
+    (100L, "smith", 1000L), (200L, "jones", 1000L))
+
+  /** Batch-2 token events: smyth (t=1050, in-window) co-blocks and
+    * cluster-matches batch-1 smith; wilson matches nothing; the zzz
+    * sentinel (t=2000) advances the watermark past the TTL of every
+    * batch-1/2 block.
+    */
+  val tokensBatch2: Seq[(Long, String, Long)] = Seq(
+    (300L, "smyth", 1050L), (400L, "wilson", 1050L),
+    (900L, "zzyzxvaq", 2000L))
+
+  /** Batch-3: smythe (t=2050) would cluster-match smith/smyth, but their
+    * block state is TTL-expired — no edge. Batch-4: smithe (t=1500)
+    * arrives LATE (watermark 2050) — no edge, no state entry.
+    */
+  val tokensBatch3: Seq[(Long, String, Long)] = Seq(
+    (500L, "smythe", 2050L))
+  val tokensBatch4: Seq[(Long, String, Long)] = Seq(
+    (600L, "smithe", 1500L))
+
+  val tokenBatches: Seq[Seq[(Long, String, Long)]] =
+    Seq(tokensBatch1, tokensBatch2, tokensBatch3, tokensBatch4)
 
   private val nameCounter = new java.util.concurrent.atomic.AtomicInteger()
 
-  /** Drive `build`'s streaming output through a memory sink for exactly
-    * two micro-batches and return the sink rows as a local DataFrame (the
+  /** Drive `build`'s streaming output through a memory sink for the given
+    * micro-batches and return the sink rows as a local DataFrame (the
     * results are tiny by construction). The sink table is dropped before
     * returning so repeat invocations (bench warm + timed runs) never
     * collide.
     */
-  private def runTwoBatches(
+  private def runBatches(
       spark: SparkSession,
       idCol: String,
       strCol: String,
-      b1: Seq[(Long, String)],
-      b2: Seq[(Long, String)])(
+      batches: Seq[Seq[(Long, String, Long)]])(
       build: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input = MemoryStream[(Long, String)]
+    val input = MemoryStream[(Long, String, Long)]
     val name = s"graft_stream_q_${nameCounter.incrementAndGet()}"
-    val out = build(input.toDS().toDF(idCol, strCol))
-    // a six-row fixture does not need 32 state-store partitions — every
+    val out = build(input.toDS().toDF(idCol, strCol, "event_sec"))
+    // a few-row fixture does not need 32 state-store partitions — every
     // stateful-op partition costs a task + a store commit PER MICRO-BATCH,
     // which at the session default dominated the query's wall time ~8x.
     // (Real deployments size this to their ingest rate; the semantics
@@ -89,10 +141,10 @@ object StreamingDriverQueries {
       val query = out.writeStream
         .format("memory").queryName(name).outputMode("append").start()
       try {
-        input.addData(b1: _*)
-        query.processAllAvailable()
-        input.addData(b2: _*)
-        query.processAllAvailable()
+        batches.foreach { b =>
+          input.addData(b: _*)
+          query.processAllAvailable()
+        }
         val table = spark.table(name)
         val rows: Seq[Row] = table.collect().toSeq
         spark.createDataFrame(
@@ -104,50 +156,89 @@ object StreamingDriverQueries {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
-  /** Streaming exact dedup over the two batches: survivors =
-    * first-arrival per fingerprint (doc 4 dropped).
+  /** Streaming exact dedup over the three batches: survivors =
+    * first-arrival per fingerprint while that fingerprint's state is
+    * live, PLUS the post-TTL revisit (doc 7, state evicted), MINUS the
+    * late row (doc 8) and the in-window duplicate (doc 4).
     */
   def dedup(spark: SparkSession): DataFrame =
-    runTwoBatches(spark, "doc_id", "text", docsBatch1, docsBatch2)(
-      StreamingDedup.dedupe(_))
+    runBatches(spark, "doc_id", "text", docBatches)(
+      StreamingDedup.dedupe(_, ttlSeconds = TtlSeconds,
+        eventTimeCol = Some("event_sec")))
+      .select("doc_id", "text")
 
-  /** Streaming MinHash near-dup links over the two batches, collapsed to
-    * one row per pair (max est across band emissions — the ests are
+  /** Streaming MinHash near-dup links over the three batches, collapsed
+    * to one row per pair (max est across band emissions — the ests are
     * identical, max is just the canonical collapse).
     */
   def nearDup(spark: SparkSession): DataFrame = {
-    val links = runTwoBatches(
-      spark, "doc_id", "text", docsBatch1, docsBatch2)(
-      StreamingDedup.nearDupCandidates(_).toDF())
+    val links = runBatches(
+      spark, "doc_id", "text", docBatches)(
+      StreamingDedup.nearDupCandidates(_,
+        stateTtl = java.time.Duration.ofSeconds(TtlSeconds),
+        eventTimeCol = Some("event_sec")).toDF())
     links.groupBy("id_a", "id_b")
       .agg(org.apache.spark.sql.functions.max("est_jaccard")
         .as("est_jaccard"))
   }
 
-  /** Streaming linkage edges over the two token batches, collapsed to
+  /** Streaming linkage edges over the four token batches, collapsed to
     * distinct (src, dst) pairs (one edge per shared blocking key
     * otherwise).
     */
   def linkage(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val edges = runTwoBatches(
-      spark, "file_id", "token", tokensBatch1, tokensBatch2)(df =>
-      StreamingLinkage.edges(spark, df.as[TokenEvent]).toDF())
+    val edges = runBatches(
+      spark, "file_id", "token", tokenBatches)(df =>
+      StreamingLinkage.edgesWithTime(spark, df,
+        stateTtl = java.time.Duration.ofSeconds(TtlSeconds),
+        eventTimeCol = Some("event_sec")).toDF())
     edges.select("src", "dst").dropDuplicates("src", "dst")
   }
+
+  /** Per-batch watermark of a batch sequence under delay 0: max event
+    * time of all PRIOR batches (Long.MinValue before any data).
+    */
+  private def watermarkAt(
+      batches: Seq[Seq[(Long, String, Long)]], batchIdx: Int): Long =
+    batches.take(batchIdx).flatten.map(_._3)
+      .foldLeft(Long.MinValue)(math.max)
 
   /** Driver-side recompute of the expected linkage edges from the SAME
     * scalar single-sources-of-truth the batch pipeline uses
     * ([[graft.pipeline.Blocking.scalarBlockKeys]] intersect +
-    * [[graft.pipeline.Scoring.clusterMatch]]), restricted to cross-batch
-    * pairs — the determinism pin for the stateful streaming path.
+    * [[graft.pipeline.Scoring.clusterMatch]]) plus the streaming time
+    * rules: cross-batch only; the arrival must not be late (event time >=
+    * its batch's watermark); and the member's block must still be alive —
+    * some non-late co-blocking row in an earlier batch within TTL of the
+    * arrival batch's watermark (block activity renews on every arrival,
+    * so smyth@1050 extends smith's block, but 2050-batch watermark 2000
+    * is past 1050+100 and the block is gone). The determinism pin for the
+    * stateful streaming path.
     */
-  def expectedLinkageEdges: Seq[(Long, Long)] =
-    for {
-      (idA, tokA) <- tokensBatch1
-      (idB, tokB) <- tokensBatch2
-      if graft.pipeline.Blocking.scalarBlockKeys(tokA)
-        .intersect(graft.pipeline.Blocking.scalarBlockKeys(tokB)).nonEmpty
-      if graft.pipeline.Scoring.clusterMatch(tokA, tokB)
-    } yield (math.min(idA, idB), math.max(idA, idB))
+  def expectedLinkageEdges: Seq[(Long, Long)] = {
+    val all = tokenBatches.zipWithIndex.flatMap { case (b, i) =>
+      b.map { case (id, tok, ts) => (i, id, tok, ts) }
+    }
+    val keysOf = all.map { case (_, id, tok, _) =>
+      id -> graft.pipeline.Blocking.scalarBlockKeys(tok)
+    }.toMap
+    def late(batch: Int, ts: Long): Boolean =
+      ts < watermarkAt(tokenBatches, batch)
+    val accepted = all.filterNot { case (b, _, _, ts) => late(b, ts) }
+    (for {
+      (bM, idM, tokM, _) <- accepted
+      (bA, idA, tokA, _) <- accepted
+      if bM < bA
+      if keysOf(idM).intersect(keysOf(idA)).nonEmpty
+      if graft.pipeline.Scoring.clusterMatch(tokM, tokA)
+      wmA = watermarkAt(tokenBatches, bA)
+      // block-alive: any earlier non-late co-blocker of the member keeps
+      // its block's lastTs within TTL of the arrival's watermark
+      if accepted.exists { case (bR, idR, _, tsR) =>
+        bR < bA &&
+          (idR == idM || keysOf(idR).intersect(keysOf(idM)).nonEmpty) &&
+          tsR + TtlSeconds >= wmA
+      }
+    } yield (math.min(idM, idA), math.max(idM, idA))).distinct.sorted
+  }
 }

@@ -12,7 +12,12 @@ final case class TokenEvent(file_id: Long, token: String)
   */
 final case class BlockMember(file_id: Long, token: String,
     metaphone: String, mra: String)
-final case class BlockState(members: Seq[BlockMember])
+
+/** `lastTs` = the block's newest event time, checked against the
+  * watermark at READ time (see [[BucketState]] for the same-batch
+  * timeout race it closes).
+  */
+final case class BlockState(members: Seq[BlockMember], lastTs: Long)
 final case class MatchEdge(src: Long, dst: Long, key: String)
 
 /** Incremental record linkage over a stream of (file_id, token) events.
@@ -48,20 +53,41 @@ object StreamingLinkage {
       spark: SparkSession,
       events: Dataset[TokenEvent],
       maxBlockSize: Int = 1000,
-      stateTtl: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[MatchEdge] = {
+      stateTtl: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[MatchEdge] =
+    edgesWithTime(spark, events.toDF(), maxBlockSize, stateTtl,
+      eventTimeCol = None)
+
+  /** [[edges]] over a DataFrame of (file_id, token[, event-time]) — the
+    * production shape, where the watermark advances on the SOURCE's
+    * event-time column and late/out-of-order arrivals are well defined.
+    * Late rows (event time below the watermark) neither link nor enter
+    * state; a block whose last activity is past `stateTtl` is expired at
+    * read time, so its members never link even in the micro-batch whose
+    * timeout would have evicted them.
+    */
+  def edgesWithTime(
+      spark: SparkSession,
+      events: org.apache.spark.sql.DataFrame,
+      maxBlockSize: Int = 1000,
+      stateTtl: java.time.Duration = java.time.Duration.ofHours(1),
+      eventTimeCol: Option[String] = None): Dataset[MatchEdge] = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.current_timestamp
+    import org.apache.spark.sql.functions.{call_function, col, current_timestamp, lit}
     graft.functions.GraftFunctions.register(spark)
 
-    import org.apache.spark.sql.functions.{call_function, col, lit}
     // phonetic codes computed ONCE per key row inside the codegen'd
-    // projection — the state function below only compares cached codes
+    // projection — the state function below only compares cached codes.
+    // The event-time column rides through the key fanout via `carry`.
     val keys = graft.pipeline.Blocking
-      .blockingKeys(events.toDF())
+      .blockingKeys(events, carry = eventTimeCol.toSeq)
       .withColumn("metaphone",
         call_function("graft_metaphone", col("token"), lit(0)))
       .withColumn("mra", call_function("graft_mra_encode", col("token")))
-      .withColumn("ts", current_timestamp())
+      .withColumn("ts",
+        eventTimeCol.map(c => col(c).cast("timestamp"))
+          .getOrElse(current_timestamp()))
+      .select(col("file_id"), col("token"), col("key"),
+        col("metaphone"), col("mra"), col("ts"))
       .withWatermark("ts", "0 seconds")
       .as[(Long, String, String, String, String, java.sql.Timestamp)]
 
@@ -79,29 +105,36 @@ object StreamingLinkage {
             state.remove()
             Iterator.empty
           } else {
-            var members =
-              state.getOption.map(_.members.toVector).getOrElse(Vector.empty)
+            val wm = state.getCurrentWatermarkMs()
+            // read-time TTL (see BucketState doc): stale members must not
+            // link even when data and timeout land in the same batch
+            val priorLast = state.getOption.map(_.lastTs).getOrElse(0L)
+            var members = state.getOption
+              .filter(_ => wm <= priorLast + ttlMs)
+              .map(_.members.toVector).getOrElse(Vector.empty)
             val out = Vector.newBuilder[MatchEdge]
-            var maxTs = 0L
+            var maxTs = if (members.isEmpty) 0L else priorLast
             rows.foreach { case (id, token, _, meta, mra, ts) =>
-              if (ts.getTime > maxTs) maxTs = ts.getTime
-              members.foreach { m =>
-                if (m.file_id != id &&
-                    graft.pipeline.Scoring.clusterMatchCoded(
-                      m.token, m.metaphone, m.mra, token, meta, mra)) {
-                  out += MatchEdge(
-                    math.min(id, m.file_id), math.max(id, m.file_id), key)
+              // late rows: the batch pass's job over the archived table
+              if (ts.getTime >= wm) {
+                if (ts.getTime > maxTs) maxTs = ts.getTime
+                members.foreach { m =>
+                  if (m.file_id != id &&
+                      graft.pipeline.Scoring.clusterMatchCoded(
+                        m.token, m.metaphone, m.mra, token, meta, mra)) {
+                    out += MatchEdge(
+                      math.min(id, m.file_id), math.max(id, m.file_id), key)
+                  }
+                }
+                if (members.size < maxBlockSize &&
+                    !members.exists(_.file_id == id)) {
+                  members = members :+ BlockMember(id, token, meta, mra)
                 }
               }
-              if (members.size < maxBlockSize &&
-                  !members.exists(_.file_id == id)) {
-                members = members :+ BlockMember(id, token, meta, mra)
-              }
             }
-            state.update(BlockState(members))
+            state.update(BlockState(members, maxTs))
             // renew the TTL from this block's newest event (must stay
             // ahead of the current watermark)
-            val wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(math.max(maxTs, wm + 1) + ttlMs)
             out.result().iterator
           }

@@ -51,6 +51,25 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("driver fixture end-to-end: dup passes after TTL eviction; late row drops") {
+    // exact dedup over the 3-batch event-time fixture: doc 4 (in-window
+    // dup of 1) drops; doc 7 (revisit of 1 AFTER the t=2000 sentinel
+    // pushed the watermark past doc 1's state TTL) passes THROUGH; doc 8
+    // (event time 1200 below the 1900 watermark) is late and vanishes
+    val got = StreamingDriverQueries.dedup(spark)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 5L, 6L, 9L, 7L), got.toSeq.sorted.mkString(","))
+  }
+
+  test("driver fixture end-to-end: near-dup links in-window only") {
+    // (1,4) and (2,5) arrive within the TTL; doc 7's bucket members are
+    // TTL-expired at read time (same-batch-as-timeout race covered); the
+    // late doc 8 neither links nor enters state
+    val got = StreamingDriverQueries.nearDup(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 4L), (2L, 5L)), got.toSeq.sorted.mkString(","))
+  }
+
   test("near-dup pair links across micro-batches; unrelated doc does not") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -14,11 +14,23 @@ class StreamingLinkageSpec extends AnyFunSuite {
 
   test("driver fixture: library recompute agrees with the static oracle") {
     // the q_streaming_linkage oracle is a STATIC reference-derived list
-    // ((100,300): smith/smyth share Metaphone "SM0"); the library's own
-    // scalar blockKeys+clusterMatch recompute over the fixture must agree,
-    // so a fixture or criterion change that would silently invalidate the
-    // oracle fails here first
+    // ((100,300): smith/smyth share Metaphone "SM0" in-window; smythe is
+    // TTL-expired, smithe is late); the library's own scalar
+    // blockKeys+clusterMatch+time-rules recompute over the fixture must
+    // agree, so a fixture or criterion change that would silently
+    // invalidate the oracle fails here first
     assert(StreamingDriverQueries.expectedLinkageEdges == Seq((100L, 300L)))
+  }
+
+  test("driver fixture end-to-end: TTL-expired block and late row emit nothing") {
+    // the full 4-batch event-time fixture: smyth@1050 links smith@1000
+    // (in-window); smythe@2050 does NOT (the t=2000 sentinel advanced the
+    // watermark past the block's TTL, and the read-time check must hold
+    // even though smythe's data lands in the same batch the timeout would
+    // fire in); smithe@1500 is below the 2050 watermark (late) — nothing
+    val got = StreamingDriverQueries.linkage(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 300L)), got.toSeq.sorted.mkString(","))
   }
 
   test("cross-micro-batch matches are emitted from block state") {
