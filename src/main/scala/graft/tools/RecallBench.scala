@@ -21,42 +21,61 @@ object RecallBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val nQueries = args.headOption.map(_.toInt).getOrElse(100)
     val k = 10
-    val nPlanes = 8
-    val bands = 4
     val spark = graft.Bench.buildSession(cpus)
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.where(col("vec_id") < nQueries)
+    val nVec = emb.count()
 
-    def topkSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
-      df.select("query_id", "vec_id").collect()
+    // exact baseline once: (query -> top-k ids with cosine)
+    val brute = SimilaritySearch.bruteForceTopK(
+      emb, queries, "vec_id", "embedding", k = k)
+      .select("query_id", "vec_id", "cos_sim").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      }
+
+    // sweep: the driver-query setting plus cheaper/denser bandings, so
+    // the recall-vs-cost CURVE is on the measured record (testdata
+    // embeddings are near-random — max pairwise cosine ~0.48 — which is
+    // the hyperplane-LSH worst case; real near-dup corpora sit at
+    // cos>=0.9 where per-band collision is ~0.3 instead of ~0.02)
+    val configs = Seq((8, 4), (6, 8), (4, 8), (3, 12))
+    configs.foreach { case (nPlanes, bands) =>
+      val lsh = SimilaritySearch.lshTopK(
+        emb, queries, "vec_id", "embedding", dim = 64, k = k,
+        nPlanes = nPlanes, bands = bands)
+        .select("query_id", "vec_id").collect()
         .groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-
-    val brute = topkSets(SimilaritySearch.bruteForceTopK(
-      emb, queries, "vec_id", "embedding", k = k))
-    val lsh = topkSets(SimilaritySearch.lshTopK(
-      emb, queries, "vec_id", "embedding", dim = 64, k = k,
-      nPlanes = nPlanes, bands = bands))
-
-    val perQuery = brute.toSeq.map { case (q, exact) =>
-      val got = lsh.getOrElse(q, Set.empty)
-      exact.intersect(got).size.toDouble / exact.size
+      val perQuery = brute.toSeq.map { case (q, exact) =>
+        val got = lsh.getOrElse(q, Set.empty)
+        exact.keySet.intersect(got).size.toDouble / exact.size
+      }
+      val recall = perQuery.sum / perQuery.size
+      // recall over the STRONG neighbors (cos >= 0.3 — the only regime
+      // q_embedding_dedup-style near-dup retrieval cares about)
+      val strong = brute.toSeq.flatMap { case (q, exact) =>
+        val s = exact.filter(_._2 >= 0.3).keySet
+        if (s.isEmpty) None
+        else Some(s.intersect(lsh.getOrElse(q, Set.empty)).size.toDouble / s.size)
+      }
+      val strongRecall =
+        if (strong.isEmpty) -1.0 else strong.sum / strong.size
+      val cand = SimilaritySearch.lshCandidateCount(
+        emb, queries, "vec_id", "embedding", dim = 64,
+        nPlanes = nPlanes, bands = bands)
+      println(
+        s"""{"metric":"ann_lsh_recall_at_$k","value":${f"$recall%.4f"},""" +
+          s""""strong_recall_cos_ge_0.3":${f"$strongRecall%.4f"},""" +
+          s""""strong_queries":${strong.size},""" +
+          s""""n_queries":${perQuery.size},"n_vectors":$nVec,""" +
+          s""""n_planes":$nPlanes,"bands":$bands,""" +
+          s""""candidate_pairs":$cand,""" +
+          s""""candidate_fraction":${f"${cand.toDouble / (nVec * perQuery.size)}%.4f"},""" +
+          s""""sf":"$sfDir"}""")
     }
-    val recall = perQuery.sum / perQuery.size
-    val nVec = emb.count()
-    // candidate fraction: how much of the table the LSH variant actually
-    // scored (the scale argument — recall bought at a fraction of a scan)
-    val cand = SimilaritySearch.lshCandidateCount(
-      emb, queries, "vec_id", "embedding", dim = 64,
-      nPlanes = nPlanes, bands = bands)
-    println(
-      s"""{"metric":"ann_lsh_recall_at_$k","value":${f"$recall%.4f"},""" +
-        s""""n_queries":${perQuery.size},"n_vectors":$nVec,""" +
-        s""""n_planes":$nPlanes,"bands":$bands,""" +
-        s""""candidate_pairs":$cand,""" +
-        s""""candidate_fraction":${f"${cand.toDouble / (nVec * perQuery.size)}%.4f"},""" +
-        s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }
