@@ -290,6 +290,62 @@ object SparkEntry {
        |WHERE rank <= 10""".stripMargin
   }
 
+  /** DuckDB multi-probe ANN-LSH oracle: the data side hashes every vector
+    * to ONE bucket per band (same plane literals and fold as
+    * `q_ann_lsh`); the query side (vec_id<5) adds, per band, the 2
+    * single-bit-flip signatures with the smallest |projection| margin
+    * (ties on the exact double broken by plane index — the same
+    * (margin, mask) ordering the Spark plan's array_sort uses).
+    */
+  private def annLshMpOracleSql: String = {
+    val bands = 4
+    val nPlanes = 8
+    val dim = 64
+    val probes = 2
+    val projCols = (for (b <- 0 until bands; p <- 0 until nPlanes) yield {
+      val terms = (0 until dim).map(d =>
+        s"embedding[${d + 1}]::DOUBLE * " +
+          s"${SimilaritySearch.planeSign(b, p, d)}")
+        .mkString("0.0 + ", " + ", "")
+      s"($terms) AS pr${b}_$p"
+    }).mkString(",\n  ")
+    val sigCols = (0 until bands).map { b =>
+      (0 until nPlanes).map(p =>
+        s"(CASE WHEN pr${b}_$p > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString("(", " + ", s") AS s$b")
+    }.mkString(",\n  ")
+    val bandSel = (0 until bands).map(b =>
+      s"SELECT vec_id, embedding, $b AS band, s$b AS sig FROM sigs")
+      .mkString("\nUNION ALL\n")
+    val flipSel = (for (b <- 0 until bands; p <- 0 until nPlanes) yield
+      s"SELECT vec_id, embedding, $b AS band, abs(pr${b}_$p) AS margin, " +
+        s"$p AS p, xor(s$b, ${1L << p}) AS sig FROM sigs WHERE vec_id < 5")
+      .mkString("\nUNION ALL\n")
+    s"""WITH projs AS (SELECT vec_id, embedding, $projCols FROM embeddings),
+       |sigs AS (SELECT *, $sigCols FROM projs),
+       |banded AS ($bandSel),
+       |flips AS (SELECT *, row_number() OVER (PARTITION BY vec_id, band
+       |    ORDER BY margin, p) AS rk FROM ($flipSel)),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec, band, sig
+       |    FROM banded WHERE vec_id < 5
+       |  UNION ALL
+       |  SELECT vec_id AS query_id, embedding AS qvec, band, sig
+       |    FROM flips WHERE rk <= $probes),
+       |cand AS (SELECT DISTINCT query_id, banded.vec_id,
+       |    banded.embedding AS vemb, qvec
+       |  FROM banded JOIN q USING (band, sig)
+       |  WHERE banded.vec_id <> query_id),
+       |scored AS (SELECT query_id, vec_id,
+       |    round(list_cosine_similarity(vemb::DOUBLE[],
+       |      qvec::DOUBLE[]), 6) AS cos_sim
+       |  FROM cand),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 10""".stripMargin
+  }
+
   /** DuckDB banded-embedding-LSH oracle: same per-band plane literals,
     * bucket join, exact-cosine verify and threshold as
     * `q_embedding_dedup` (dim=64, nPlanes=6, bands=8, minCosine=0.3).
@@ -654,6 +710,15 @@ object SparkEntry {
         emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
         dim = 64, k = 10, nPlanes = 8)
     }),
+    "q_ann_lsh_mp" -> ((s, dir) => {
+      // multi-probe: same buckets data-side, the broadcast query side
+      // additionally probes the 2 lowest-|margin| bit-flip buckets per
+      // band — recall bought at zero data-side explode growth
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.lshTopK(
+        emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+        dim = 64, k = 10, nPlanes = 8, bands = 4, probes = 2)
+    }),
     "q_embedding_dedup" -> ((s, dir) => {
       // testdata embeddings are near-random (max pairwise cosine ~0.48);
       // 0.3 exercises the banded-LSH + exact-verify path with real output.
@@ -922,6 +987,7 @@ object SparkEntry {
     "q_minhash_dedup" -> minhashOracleSql,
     "q_simhash" -> simhashOracleSql,
     "q_ann_lsh" -> annLshOracleSql,
+    "q_ann_lsh_mp" -> annLshMpOracleSql,
     "q_embedding_dedup" -> embeddingDedupOracleSql,
     "q_linkage_clusters" -> linkageOracleSql,
     // same perfect-clustering ground truth: a resumed closure must land on

@@ -103,11 +103,90 @@ object SimilaritySearch {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** Per-plane signed projections of `vec` for one band's plane set —
+    * the same plan-time literal planes and sequential left fold as
+    * [[lshSignature]] (band b of the fused signatures uses seed = b), as
+    * array<double> so multi-probe can rank planes by |margin|.
+    */
+  def lshProjections(vec: Column, dim: Int, nPlanes: Int,
+      seed: Int): Column =
+    array((0 until nPlanes).map { p =>
+      val signs = array((0 until dim).map(d =>
+        lit(planeSign(seed, p, d))): _*)
+      aggregate(
+        zip_with(vec, signs, (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+
+  /** Deduped (query_id, vec_id, vec, qvec) LSH candidate pairs.
+    *
+    * Data side always emits exactly ONE (band, signature) bucket row per
+    * band — at 10^12 vectors the big-table explode must not grow with
+    * recall tuning. With `probes` > 0 the (tiny, broadcast) query side
+    * additionally probes, per band, the `probes` single-bit-flip buckets
+    * with the smallest |projection| margin — the buckets the query was
+    * closest to hashing into (Lv et al. multi-probe LSH,
+    * https://www.cs.princeton.edu/cass/papers/mplsh_vldb07.pdf) — so
+    * recall is bought query-side at zero data-side cost.
+    */
+  private def lshCandidatePairs(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nPlanes: Int,
+      bands: Int,
+      probes: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    def banded(df: DataFrame, id: String, idAs: String, vecAs: String) =
+      df.select(col(id).as(idAs), col(vecCol).as(vecAs),
+        posexplode(call_function("graft_lsh_signatures", col(vecCol),
+          lit(dim), lit(nPlanes), lit(bands), lit(0))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "sig")
+    val v = banded(vectors, idCol, "vec_id", "vec")
+    val q =
+      if (probes <= 0) banded(queries, idCol, "query_id", "qvec")
+      else {
+        val maxProbes = math.min(probes, nPlanes)
+        val perBand = (0 until bands).map { b =>
+          val proj = lshProjections(col(vecCol), dim, nPlanes, seed = b)
+          val sig = (0 until nPlanes).map { p =>
+            when(element_at(proj, p + 1) > 0, shiftleft(lit(1L), p))
+              .otherwise(0L)
+          }.reduce(_.bitwiseOR(_))
+          // planes ranked by |margin| asc, plane index breaking exact
+          // double ties (mask = 1L << p is monotone in p, so ordering by
+          // mask == ordering by p) — the DuckDB oracle ranks identically
+          val flips = transform(
+            slice(
+              array_sort(array((0 until nPlanes).map { p =>
+                struct(abs(element_at(proj, p + 1)).as("m"),
+                  lit(1L << p).as("mask"))
+              }: _*)),
+              1, maxProbes),
+            s => sig.bitwiseXOR(s.getField("mask")))
+          struct(lit(b).as("band"), concat(array(sig), flips).as("sigs"))
+        }
+        queries
+          .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+            explode(array(perBand: _*)).as("bp"))
+          .select(col("query_id"), col("qvec"),
+            col("bp.band").as("band"), explode(col("bp.sigs")).as("sig"))
+      }
+    v.join(broadcast(q), Seq("band", "sig"))
+      .where(col("vec_id") =!= col("query_id"))
+      // a pair can collide in several bands/probes — dedupe before scoring
+      .dropDuplicates("query_id", "vec_id")
+  }
+
   /** Banded LSH ANN: `bands` independent signatures per vector, candidates
     * = vectors sharing at least one (band, signature) bucket with the
-    * query — multi-probe recall without shrinking buckets (a single
-    * signature's recall collapses as nPlanes grows; banding makes miss
-    * probability (1 - p^nPlanes)^bands). Returns same shape as
+    * query (miss probability (1 - p^nPlanes)^bands; a single signature's
+    * recall collapses as nPlanes grows). `probes` > 0 additionally probes
+    * the lowest-margin single-bit-flip buckets per band, query-side only
+    * — see [[lshCandidatePairs]]. Returns same shape as
     * [[bruteForceTopK]]; cost ~ bands x bucket size instead of n.
     */
   def lshTopK(
@@ -118,21 +197,10 @@ object SimilaritySearch {
       dim: Int,
       k: Int = 10,
       nPlanes: Int = 12,
-      bands: Int = 4): DataFrame = {
-    graft.functions.GraftFunctions.register(vectors.sparkSession)
-    def banded(df: DataFrame, id: String, idAs: String, vecAs: String) =
-      df.select(col(id).as(idAs), col(vecCol).as(vecAs),
-        posexplode(call_function("graft_lsh_signatures", col(vecCol),
-          lit(dim), lit(nPlanes), lit(bands), lit(0))))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "sig")
-    val v = banded(vectors, idCol, "vec_id", "vec")
-    val q = banded(queries, idCol, "query_id", "qvec")
-    val scored = v
-      .join(broadcast(q), Seq("band", "sig"))
-      .where(col("vec_id") =!= col("query_id"))
-      // a pair can collide in several bands — dedupe before scoring
-      .dropDuplicates("query_id", "vec_id")
+      bands: Int = 4,
+      probes: Int = 0): DataFrame = {
+    val scored = lshCandidatePairs(vectors, queries, idCol, vecCol, dim,
+      nPlanes, bands, probes)
       .withColumn("cos_sim", round(cosine(col("vec"), col("qvec")), 6))
     topKPerQuery(scored, k)
   }
@@ -148,17 +216,9 @@ object SimilaritySearch {
       vecCol: String,
       dim: Int,
       nPlanes: Int = 12,
-      bands: Int = 4): Long = {
-    graft.functions.GraftFunctions.register(vectors.sparkSession)
-    def banded(df: DataFrame, idAs: String) =
-      df.select(col(idCol).as(idAs),
-        posexplode(call_function("graft_lsh_signatures", col(vecCol),
-          lit(dim), lit(nPlanes), lit(bands), lit(0))))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "sig")
-    banded(vectors, "vec_id")
-      .join(broadcast(banded(queries, "query_id")), Seq("band", "sig"))
-      .where(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id").distinct().count()
-  }
+      bands: Int = 4,
+      probes: Int = 0): Long =
+    lshCandidatePairs(vectors, queries, idCol, vecCol, dim,
+      nPlanes, bands, probes)
+      .select("query_id", "vec_id").count()
 }

@@ -41,11 +41,14 @@ object RecallBench {
     // embeddings are near-random — max pairwise cosine ~0.48 — which is
     // the hyperplane-LSH worst case; real near-dup corpora sit at
     // cos>=0.9 where per-band collision is ~0.3 instead of ~0.02)
-    val configs = Seq((8, 4), (6, 8), (4, 8), (3, 12))
-    configs.foreach { case (nPlanes, bands) =>
+    // (nPlanes, bands, probes) — probes > 0 = margin-guided multi-probe
+    // (query-side only; the data-side explode stays `bands` rows/vector)
+    val configs = Seq((8, 4, 0), (8, 4, 2), (8, 4, 4), (6, 8, 0),
+      (6, 8, 2), (4, 8, 0), (3, 12, 0))
+    configs.foreach { case (nPlanes, bands, probes) =>
       val lsh = SimilaritySearch.lshTopK(
         emb, queries, "vec_id", "embedding", dim = 64, k = k,
-        nPlanes = nPlanes, bands = bands)
+        nPlanes = nPlanes, bands = bands, probes = probes)
         .select("query_id", "vec_id").collect()
         .groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
@@ -63,15 +66,31 @@ object RecallBench {
       }
       val strongRecall =
         if (strong.isEmpty) -1.0 else strong.sum / strong.size
+      // closed-form EXACT-BUCKET hyperplane-LSH prediction from the exact
+      // cosines: P(plane agrees) = 1 - theta/pi, per-band collision
+      // p^nPlanes, candidate if any of `bands` bands collides. Measured
+      // (at probes=0) ~= model proves the plane sampling is unbiased (a
+      // biased or duplicated plane set would read below model); probed
+      // rows must read ABOVE it.
+      val modelRecall = {
+        val ps = brute.toSeq.flatMap { case (_, exact) =>
+          exact.values.map { c =>
+            val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, c))) / math.Pi
+            1.0 - math.pow(1.0 - math.pow(p, nPlanes), bands)
+          }
+        }
+        ps.sum / ps.size
+      }
       val cand = SimilaritySearch.lshCandidateCount(
         emb, queries, "vec_id", "embedding", dim = 64,
-        nPlanes = nPlanes, bands = bands)
+        nPlanes = nPlanes, bands = bands, probes = probes)
       println(
         s"""{"metric":"ann_lsh_recall_at_$k","value":${f"$recall%.4f"},""" +
           s""""strong_recall_cos_ge_0.3":${f"$strongRecall%.4f"},""" +
+          s""""model_recall":${f"$modelRecall%.4f"},""" +
           s""""strong_queries":${strong.size},""" +
           s""""n_queries":${perQuery.size},"n_vectors":$nVec,""" +
-          s""""n_planes":$nPlanes,"bands":$bands,""" +
+          s""""n_planes":$nPlanes,"bands":$bands,"probes":$probes,""" +
           s""""candidate_pairs":$cand,""" +
           s""""candidate_fraction":${f"${cand.toDouble / (nVec * perQuery.size)}%.4f"},""" +
           s""""sf":"$sfDir"}""")

@@ -260,6 +260,57 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("expected dim=32")), ex.toString)
   }
 
+  test("multi-probe lsh: more candidates, recall never below exact-bucket") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val dim = 16
+    // 10 planted near-copies (query i's neighbor is i+100) in noise
+    val vecs = (0L until 100L).map { i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    }
+    // moderate similarity (cos ~0.85-0.95): close enough to be the true
+    // rank-1 neighbor, far enough that the exact bucket misses some
+    val planted = vecs.take(10).map { case (i, v) =>
+      val c = v.map(x => x + 0.35f * (rnd.nextFloat() * 2 - 1))
+      (i + 100L, c)
+    }
+    val df = (vecs ++ planted).toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 10)
+    def recallOf(probes: Int): Double = {
+      val got = SimilaritySearch.lshTopK(df, q, "vec_id", "embedding",
+        dim = dim, k = 3, nPlanes = 8, bands = 2, probes = probes)
+        .where($"rank" === 1).select("query_id", "vec_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0L until 10L).count(i => got.get(i).contains(i + 100L)) / 10.0
+    }
+    val candPlain = SimilaritySearch.lshCandidateCount(df, q, "vec_id",
+      "embedding", dim = dim, nPlanes = 8, bands = 2)
+    val candMp = SimilaritySearch.lshCandidateCount(df, q, "vec_id",
+      "embedding", dim = dim, nPlanes = 8, bands = 2, probes = 2)
+    // exact bucket is always in the probe set -> candidates only grow
+    assert(candMp >= candPlain, s"mp=$candMp plain=$candPlain")
+    val rPlain = recallOf(0)
+    val rMp = recallOf(2)
+    assert(rMp >= rPlain, s"mp=$rMp plain=$rPlain")
+    // at 8 planes/2 bands the exact bucket misses some planted pairs;
+    // 2 margin-guided probes must recover at least one of them
+    assert(rMp > rPlain, s"probes added no recall (mp=$rMp plain=$rPlain)")
+  }
+
+  test("multi-probe lsh is deterministic (literal planes, stable sort)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val df = (0L until 80L)
+      .map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 5)
+    def run() = SimilaritySearch.lshTopK(df, q, "vec_id", "embedding",
+      dim = dim, k = 5, nPlanes = 6, bands = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(run() == run())
+  }
+
   test("lsh top-k returns a subset with matching signature") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
