@@ -346,6 +346,40 @@ object SparkEntry {
        |WHERE rank <= 10""".stripMargin
   }
 
+  /** DuckDB IVF-Flat oracle: same deterministic quantizer (16 lowest-id
+    * vectors), round-6 argmax-cosine list assignment with ties to the
+    * lowest cid, 4 probed lists per query, exact cosine + ranking —
+    * mirrors `SimilaritySearch.ivfTopK` step for step.
+    */
+  private def annIvfOracleSql: String = {
+    val nCentroids = 16
+    val nProbe = 4
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+       |  FROM embeddings ORDER BY vec_id LIMIT $nCentroids),
+       |assign AS (SELECT e.vec_id, e.embedding AS emb, c.cid,
+       |    round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec),
+       |      6) AS ccos
+       |  FROM embeddings e CROSS JOIN cent c),
+       |ranked_assign AS (SELECT vec_id, emb, cid, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |  FROM assign),
+       |lists AS (SELECT vec_id, emb, cid AS list_id
+       |  FROM ranked_assign WHERE crank = 1),
+       |qprobe AS (SELECT vec_id AS query_id, emb AS qemb,
+       |    cid AS list_id
+       |  FROM ranked_assign WHERE vec_id < 5 AND crank <= $nProbe),
+       |scored AS (SELECT q.query_id, l.vec_id,
+       |    round(list_cosine_similarity(l.emb::DOUBLE[],
+       |      q.qemb::DOUBLE[]), 6) AS cos_sim
+       |  FROM lists l JOIN qprobe q ON l.list_id = q.list_id
+       |  WHERE l.vec_id <> q.query_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 10""".stripMargin
+  }
+
   /** DuckDB banded-embedding-LSH oracle: same per-band plane literals,
     * bucket join, exact-cosine verify and threshold as
     * `q_embedding_dedup` (dim=64, nPlanes=6, bands=8, minCosine=0.3).
@@ -719,6 +753,15 @@ object SparkEntry {
         emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
         dim = 64, k = 10, nPlanes = 8, bands = 4, probes = 2)
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF-Flat: 16 sampled centroids inlined as plan-time literals
+      // (shuffle-free list assignment), probe the 4 nearest lists —
+      // the partition-pruned scale path; nProbe=nCentroids is exact
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.ivfTopK(
+        emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nCentroids = 16, nProbe = 4)
+    }),
     "q_embedding_dedup" -> ((s, dir) => {
       // testdata embeddings are near-random (max pairwise cosine ~0.48);
       // 0.3 exercises the banded-LSH + exact-verify path with real output.
@@ -988,6 +1031,7 @@ object SparkEntry {
     "q_simhash" -> simhashOracleSql,
     "q_ann_lsh" -> annLshOracleSql,
     "q_ann_lsh_mp" -> annLshMpOracleSql,
+    "q_ann_ivf" -> annIvfOracleSql,
     "q_embedding_dedup" -> embeddingDedupOracleSql,
     "q_linkage_clusters" -> linkageOracleSql,
     // same perfect-clustering ground truth: a resumed closure must land on

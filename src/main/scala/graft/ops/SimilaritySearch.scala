@@ -205,6 +205,111 @@ object SimilaritySearch {
     topKPerQuery(scored, k)
   }
 
+  /** IVF-Flat ANN: a coarse quantizer of `nCentroids` centroid vectors
+    * partitions the corpus into inverted lists (each vector assigned to
+    * its max-cosine centroid); a query exact-scans only its `nProbe`
+    * closest lists. Centroids are a deterministic sample (the
+    * `nCentroids` lowest-id vectors) standing in for a k-means training
+    * step — the engine plumbing (materialize the quantizer once, inline
+    * it as plan-time literals, narrow shuffle-free assignment over the
+    * big table, broadcast probe join) is the identical 100-TB shape
+    * either way, and swapping in trained centroids changes only the
+    * `cents` seq.
+    *
+    * Scale path: assignment is a per-row codegen'd expression over
+    * plan-time centroid literals — the corpus side never shuffles and
+    * carries no per-key window; the probe side is tiny and broadcast;
+    * candidate cost ~ n * nProbe / nCentroids per query vs n for brute
+    * force. `nProbe == nCentroids` degrades gracefully to exact search
+    * (every list scanned), which the spec pins against
+    * [[bruteForceTopK]].
+    */
+  def ivfTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    require(nCentroids > 0 && nCentroids <= 4096,
+      s"nCentroids $nCentroids out of (0, 4096]")
+    require(nProbe > 0 && nProbe <= nCentroids,
+      s"nProbe $nProbe out of (0, nCentroids]")
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    // quantizer materialization: ONE tiny bounded job (<= nCentroids
+    // rows through a limit), like parsing a rule table — not a per-row
+    // driver loop
+    val cents: Array[(Long, Seq[Double])] = vectors
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .orderBy("cid").limit(nCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // per-centroid (-(rounded cosine), cid) sorted ascending: element 1
+    // is the argmax-cosine centroid; rounding to 6 decimals BEFORE the
+    // sort makes cross-engine ties exact, broken by lowest cid — the
+    // DuckDB oracle ranks by (round(ccos,6) DESC, cid) identically.
+    // 0.0 - x (not unary minus) so a rounded -0.0 collapses to 0.0.
+    def rankedLists(vec: Column): Column = array_sort(array(cents.map {
+      case (cid, cv) =>
+        struct(
+          (lit(0.0) - round(cosine(vec, typedLit(cv)), 6)).as("negcos"),
+          lit(cid).as("cid"))
+    }: _*))
+    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      element_at(rankedLists(col(vecCol)), 1).getField("cid").as("list_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"),
+      explode(transform(
+        slice(rankedLists(col(vecCol)), 1, nProbe),
+        s => s.getField("cid"))).as("list_id"))
+    // each corpus vector lives in exactly one list and a query probes
+    // distinct lists, so pairs are already unique — no dedupe needed
+    val scored = v.join(broadcast(q), Seq("list_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("vec"), col("qvec")), 6))
+    topKPerQuery(scored, k)
+  }
+
+  /** Number of (query, vector) candidates IVF would exact-score — the
+    * cost side of the recall/cost curve, comparable with
+    * [[lshCandidateCount]].
+    */
+  def ivfCandidateCount(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): Long = {
+    // k = 1 keeps the same candidate join; count BEFORE top-k by
+    // rebuilding the scored side via a max-k run is wasteful, so this
+    // recomputes the join shape with a count aggregate only
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val cents: Array[(Long, Seq[Double])] = vectors
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .orderBy("cid").limit(nCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def rankedLists(vec: Column): Column = array_sort(array(cents.map {
+      case (cid, cv) =>
+        struct(
+          (lit(0.0) - round(cosine(vec, typedLit(cv)), 6)).as("negcos"),
+          lit(cid).as("cid"))
+    }: _*))
+    val v = vectors.select(col(idCol).as("vec_id"),
+      element_at(rankedLists(col(vecCol)), 1).getField("cid").as("list_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      explode(transform(
+        slice(rankedLists(col(vecCol)), 1, nProbe),
+        s => s.getField("cid"))).as("list_id"))
+    v.join(broadcast(q), Seq("list_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .count()
+  }
+
   /** Number of distinct (query, vector) candidates the banded LSH would
     * score — the cost side of the recall/cost tradeoff the RecallBench
     * puts on the measured record.

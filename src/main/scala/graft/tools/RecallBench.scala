@@ -95,6 +95,33 @@ object RecallBench {
           s""""candidate_fraction":${f"${cand.toDouble / (nVec * perQuery.size)}%.4f"},""" +
           s""""sf":"$sfDir"}""")
     }
+    // IVF-Flat sweep: same recall-vs-cost axes as the LSH rows, so the
+    // two ANN families sit on one measured curve. (nCentroids, nProbe);
+    // nProbe == nCentroids is exact (recall 1.0) by construction.
+    val ivfConfigs = Seq((16, 1), (16, 2), (16, 4), (16, 8), (64, 16))
+    ivfConfigs.foreach { case (nCentroids, nProbe) =>
+      val ivf = SimilaritySearch.ivfTopK(
+        emb, queries, "vec_id", "embedding", k = k,
+        nCentroids = nCentroids, nProbe = nProbe)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val perQuery = brute.toSeq.map { case (q, exact) =>
+        val got = ivf.getOrElse(q, Set.empty)
+        exact.keySet.intersect(got).size.toDouble / exact.size
+      }
+      val recall = perQuery.sum / perQuery.size
+      val cand = SimilaritySearch.ivfCandidateCount(
+        emb, queries, "vec_id", "embedding",
+        nCentroids = nCentroids, nProbe = nProbe)
+      println(
+        s"""{"metric":"ann_ivf_recall_at_$k","value":${f"$recall%.4f"},""" +
+          s""""n_queries":${perQuery.size},"n_vectors":$nVec,""" +
+          s""""n_centroids":$nCentroids,"n_probe":$nProbe,""" +
+          s""""candidate_pairs":$cand,""" +
+          s""""candidate_fraction":${f"${cand.toDouble / (nVec * perQuery.size)}%.4f"},""" +
+          s""""sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

@@ -311,6 +311,57 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  test("ivf with nProbe == nCentroids is exactly brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val dim = 16
+    val df = (0L until 120L)
+      .map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 4)
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    // probing every list scans every vector (each lives in exactly one
+    // list), so IVF degrades to the exact search bit-for-bit
+    val exact = key(SimilaritySearch.bruteForceTopK(
+      df, q, "vec_id", "embedding", k = 5))
+    val ivfAll = key(SimilaritySearch.ivfTopK(
+      df, q, "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 8))
+    assert(ivfAll == exact)
+  }
+
+  test("ivf pruned probe: subset of brute with exact pair cosines") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    val df = (0L until 150L)
+      .map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 4)
+    val bruteCos = SimilaritySearch.bruteForceTopK(
+      df, q, "vec_id", "embedding", k = 149).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = SimilaritySearch.ivfTopK(
+      df, q, "vec_id", "embedding", k = 5, nCentroids = 10, nProbe = 3)
+      .collect()
+    assert(ivf.nonEmpty)
+    // every returned pair carries the TRUE cosine (IVF prunes lists,
+    // never approximates the distance) and never a self-pair
+    ivf.foreach { r =>
+      val p = (r.getLong(0), r.getLong(1))
+      assert(p._1 != p._2)
+      assert(math.abs(bruteCos(p) - r.getDouble(2)) < 1e-12, s"pair $p")
+      assert(r.getInt(3) <= 5)
+    }
+    // determinism: plan-time literal centroids, stable tie-breaks
+    val again = SimilaritySearch.ivfTopK(
+      df, q, "vec_id", "embedding", k = 5, nCentroids = 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(again ==
+      ivf.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet)
+  }
+
   test("lsh top-k returns a subset with matching signature") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
