@@ -43,6 +43,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("ANN IVF: corpus side has no exchange before the probe join") {
+    val df = SparkEntry.queries("q_ann_ivf")(spark, sfDir)
+    val p = plan(df)
+    // the probe side broadcasts; the corpus side's list assignment is a
+    // plan-time-literal expression, so the only Exchanges allowed are
+    // the broadcast itself and the post-join top-k hash partitionings —
+    // never a corpus-wide shuffle BEFORE candidates are pruned
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    val preJoin = p.substring(p.indexOf("BroadcastHashJoin") match {
+      case -1 => p.indexOf("BroadcastExchange")
+      case i => i
+    })
+    // everything below the join in the tree is the corpus scan branch +
+    // broadcast branch: no shuffle Exchange may appear there
+    assert(!preJoin.contains("Exchange hashpartitioning"), preJoin)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("phonetic expressions sit inside whole-stage codegen, no ScalaUDF") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.range(10)
