@@ -208,13 +208,13 @@ object SimilaritySearch {
   /** IVF-Flat ANN: a coarse quantizer of `nCentroids` centroid vectors
     * partitions the corpus into inverted lists (each vector assigned to
     * its max-cosine centroid); a query exact-scans only its `nProbe`
-    * closest lists. Centroids are a deterministic sample (the
-    * `nCentroids` lowest-id vectors) standing in for a k-means training
-    * step — the engine plumbing (materialize the quantizer once, inline
-    * it as plan-time literals, narrow shuffle-free assignment over the
-    * big table, broadcast probe join) is the identical 100-TB shape
-    * either way, and swapping in trained centroids changes only the
-    * `cents` seq.
+    * closest lists. The default quantizer is a deterministic sample
+    * (the `nCentroids` lowest-id vectors); pass
+    * `centroids = Some(trainCentroids(...))` for the spherical-k-means
+    * quantizer — the engine plumbing (materialize the quantizer once,
+    * inline it as plan-time literals, narrow shuffle-free assignment
+    * over the big table, broadcast probe join) is the identical 100-TB
+    * shape either way.
     *
     * Scale path: assignment is a per-row codegen'd expression over
     * plan-time centroid literals — the corpus side never shuffles and
@@ -224,6 +224,98 @@ object SimilaritySearch {
     * (every list scanned), which the spec pins against
     * [[bruteForceTopK]].
     */
+  /** The sampled coarse quantizer: the `nCentroids` lowest-id vectors.
+    * ONE tiny bounded job (<= nCentroids rows through a limit), like
+    * parsing a rule table — not a per-row driver loop.
+    */
+  private def sampledCentroids(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int): Array[(Long, Seq[Double])] =
+    vectors
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .orderBy("cid").limit(nCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** Per-centroid (-(rounded cosine), cid) sorted ascending: element 1
+    * is the argmax-cosine centroid; rounding to 6 decimals BEFORE the
+    * sort makes cross-engine ties exact, broken by lowest cid — the
+    * DuckDB oracle ranks by (round(ccos,6) DESC, cid) identically.
+    * 0.0 - x (not unary minus) so a rounded -0.0 collapses to 0.0.
+    */
+  private def rankedListsCol(cents: Array[(Long, Seq[Double])])(
+      vec: Column): Column = array_sort(array(cents.map {
+    case (cid, cv) =>
+      struct(
+        (lit(0.0) - round(cosine(vec, typedLit(cv)), 6)).as("negcos"),
+        lit(cid).as("cid"))
+  }: _*))
+
+  /** Deterministic distributed spherical k-means for the IVF coarse
+    * quantizer. Seeds = the `nCentroids` lowest-id vectors (the same
+    * quantizer [[ivfTopK]] defaults to); each Lloyd round is ONE
+    * distributed pass: assign every vector to its argmax-cosine
+    * centroid via the identical plan-time-literal expression the query
+    * path uses (narrow, no explode), then a single groupBy(list) with
+    * `dim` codegen'd avg aggregates (partial map-side combine — the
+    * shuffle carries nCentroids x (dim+1) partials per task, never
+    * rows). New centroid = L2-renormalized per-dimension mean, rounded
+    * to 6 decimals (collapses aggregation-order ULP noise, so training
+    * is reproducible at round-6 resolution); a list that went empty
+    * keeps its previous centroid. Centroid labels stay the seed ids.
+    *
+    * Scale note: training cost is rounds x one scan. At 100 TB you
+    * train on a bounded sample (pass `vectors.limit(...)` /
+    * `.sample(...)` — a quantizer only needs the density shape) and
+    * hand the result to [[ivfTopK]]'s `centroids` parameter; the serve
+    * path stays shuffle-free either way.
+    */
+  def trainCentroids(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int = 16,
+      rounds: Int = 5): Array[(Long, Seq[Double])] = {
+    require(nCentroids > 0 && nCentroids <= 4096,
+      s"nCentroids $nCentroids out of (0, 4096]")
+    require(rounds >= 0 && rounds <= 64, s"rounds $rounds out of [0, 64]")
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    var cents = sampledCentroids(vectors, idCol, vecCol, nCentroids)
+    if (cents.isEmpty) return cents
+    val dim = cents.head._2.length
+    val v = vectors
+      .select(col(vecCol).cast("array<double>").as("vec"))
+      .where(col("vec").isNotNull && size(col("vec")) === dim)
+    var r = 0
+    while (r < rounds) {
+      val assigned = v.select(
+        element_at(rankedListsCol(cents)(col("vec")), 1)
+          .getField("cid").as("list_id"),
+        col("vec"))
+      val aggCols = (0 until dim).map(i =>
+        avg(element_at(col("vec"), i + 1)).as(s"d$i"))
+      val means: Map[Long, Seq[Double]] = assigned
+        .groupBy("list_id").agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+        .map(row => row.getLong(0) ->
+          (0 until dim).map(i => row.getDouble(i + 1)))
+        .toMap
+      cents = cents.map { case (cid, prev) =>
+        cid -> means.get(cid).map { m =>
+          val norm = math.sqrt(m.map(x => x * x).sum)
+          if (norm == 0.0) prev
+          else m.map(x => BigDecimal(x / norm)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.getOrElse(prev)
+      }
+      r += 1
+    }
+    cents
+  }
+
   def ivfTopK(
       vectors: DataFrame,
       queries: DataFrame,
@@ -231,32 +323,18 @@ object SimilaritySearch {
       vecCol: String,
       k: Int = 10,
       nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      centroids: Option[Array[(Long, Seq[Double])]] = None): DataFrame = {
     require(nCentroids > 0 && nCentroids <= 4096,
       s"nCentroids $nCentroids out of (0, 4096]")
     require(nProbe > 0 && nProbe <= nCentroids,
       s"nProbe $nProbe out of (0, nCentroids]")
+    centroids.foreach(c => require(c.length == nCentroids,
+      s"centroids.length ${c.length} != nCentroids $nCentroids"))
     graft.functions.GraftFunctions.register(vectors.sparkSession)
-    // quantizer materialization: ONE tiny bounded job (<= nCentroids
-    // rows through a limit), like parsing a rule table — not a per-row
-    // driver loop
-    val cents: Array[(Long, Seq[Double])] = vectors
-      .select(col(idCol).cast("long").as("cid"),
-        col(vecCol).cast("array<double>").as("cvec"))
-      .orderBy("cid").limit(nCentroids)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    // per-centroid (-(rounded cosine), cid) sorted ascending: element 1
-    // is the argmax-cosine centroid; rounding to 6 decimals BEFORE the
-    // sort makes cross-engine ties exact, broken by lowest cid — the
-    // DuckDB oracle ranks by (round(ccos,6) DESC, cid) identically.
-    // 0.0 - x (not unary minus) so a rounded -0.0 collapses to 0.0.
-    def rankedLists(vec: Column): Column = array_sort(array(cents.map {
-      case (cid, cv) =>
-        struct(
-          (lit(0.0) - round(cosine(vec, typedLit(cv)), 6)).as("negcos"),
-          lit(cid).as("cid"))
-    }: _*))
+    val cents: Array[(Long, Seq[Double])] = centroids.getOrElse(
+      sampledCentroids(vectors, idCol, vecCol, nCentroids))
+    def rankedLists(vec: Column): Column = rankedListsCol(cents)(vec)
     val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       element_at(rankedLists(col(vecCol)), 1).getField("cid").as("list_id"))
     val q = queries.select(col(idCol).as("query_id"),
@@ -282,23 +360,15 @@ object SimilaritySearch {
       idCol: String,
       vecCol: String,
       nCentroids: Int = 16,
-      nProbe: Int = 4): Long = {
+      nProbe: Int = 4,
+      centroids: Option[Array[(Long, Seq[Double])]] = None): Long = {
     // k = 1 keeps the same candidate join; count BEFORE top-k by
     // rebuilding the scored side via a max-k run is wasteful, so this
     // recomputes the join shape with a count aggregate only
     graft.functions.GraftFunctions.register(vectors.sparkSession)
-    val cents: Array[(Long, Seq[Double])] = vectors
-      .select(col(idCol).cast("long").as("cid"),
-        col(vecCol).cast("array<double>").as("cvec"))
-      .orderBy("cid").limit(nCentroids)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    def rankedLists(vec: Column): Column = array_sort(array(cents.map {
-      case (cid, cv) =>
-        struct(
-          (lit(0.0) - round(cosine(vec, typedLit(cv)), 6)).as("negcos"),
-          lit(cid).as("cid"))
-    }: _*))
+    val cents: Array[(Long, Seq[Double])] = centroids.getOrElse(
+      sampledCentroids(vectors, idCol, vecCol, nCentroids))
+    def rankedLists(vec: Column): Column = rankedListsCol(cents)(vec)
     val v = vectors.select(col(idCol).as("vec_id"),
       element_at(rankedLists(col(vecCol)), 1).getField("cid").as("list_id"))
     val q = queries.select(col(idCol).as("query_id"),

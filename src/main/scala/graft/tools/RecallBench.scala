@@ -98,11 +98,22 @@ object RecallBench {
     // IVF-Flat sweep: same recall-vs-cost axes as the LSH rows, so the
     // two ANN families sit on one measured curve. (nCentroids, nProbe);
     // nProbe == nCentroids is exact (recall 1.0) by construction.
-    val ivfConfigs = Seq((16, 1), (16, 2), (16, 4), (16, 8), (64, 16))
-    ivfConfigs.foreach { case (nCentroids, nProbe) =>
+    // (nCentroids, nProbe, trained): trained=true swaps the sampled
+    // quantizer for the spherical-k-means one (5 Lloyd rounds) so the
+    // sampled-vs-trained gap is on the measured record at equal cost
+    // knobs.
+    val ivfConfigs = Seq(
+      (16, 1, false), (16, 2, false), (16, 4, false), (16, 8, false),
+      (64, 16, false),
+      (16, 2, true), (16, 4, true), (64, 16, true))
+    ivfConfigs.foreach { case (nCentroids, nProbe, trained) =>
+      val cs =
+        if (trained) Some(SimilaritySearch.trainCentroids(
+          emb, "vec_id", "embedding", nCentroids = nCentroids, rounds = 5))
+        else None
       val ivf = SimilaritySearch.ivfTopK(
         emb, queries, "vec_id", "embedding", k = k,
-        nCentroids = nCentroids, nProbe = nProbe)
+        nCentroids = nCentroids, nProbe = nProbe, centroids = cs)
         .select("query_id", "vec_id").collect()
         .groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
@@ -113,11 +124,12 @@ object RecallBench {
       val recall = perQuery.sum / perQuery.size
       val cand = SimilaritySearch.ivfCandidateCount(
         emb, queries, "vec_id", "embedding",
-        nCentroids = nCentroids, nProbe = nProbe)
+        nCentroids = nCentroids, nProbe = nProbe, centroids = cs)
       println(
         s"""{"metric":"ann_ivf_recall_at_$k","value":${f"$recall%.4f"},""" +
           s""""n_queries":${perQuery.size},"n_vectors":$nVec,""" +
           s""""n_centroids":$nCentroids,"n_probe":$nProbe,""" +
+          s""""trained":$trained,""" +
           s""""candidate_pairs":$cand,""" +
           s""""candidate_fraction":${f"${cand.toDouble / (nVec * perQuery.size)}%.4f"},""" +
           s""""sf":"$sfDir"}""")

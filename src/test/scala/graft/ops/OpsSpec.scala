@@ -362,6 +362,86 @@ class SimilaritySearchSpec extends AnyFunSuite {
       ivf.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet)
   }
 
+  /** 4 clusters around orthogonal base directions; ids 0..3 are the
+    * noisiest member of each cluster (so the sampled quantizer seeds
+    * are deliberately bad), the rest are base + small noise.
+    */
+  private def clusteredVecs(dim: Int = 8, perCluster: Int = 10) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    def mk(cluster: Int, noise: Double): Array[Float] =
+      Array.tabulate(dim) { d =>
+        val base = if (d == cluster * 2 || d == cluster * 2 + 1) 1.0f else 0.0f
+        base + (rnd.nextFloat() * 2 - 1) * noise.toFloat
+      }
+    (0 until 4).flatMap { c =>
+      (0 until perCluster).map { j =>
+        val id = j * 4L + c // id % 4 == cluster; ids 0..3 one per cluster
+        (id, mk(c, if (j == 0) 0.9 else 0.25))
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("trainCentroids: deterministic, unit-norm, converges to cluster means") {
+    val df = clusteredVecs()
+    val trained = SimilaritySearch.trainCentroids(
+      df, "vec_id", "embedding", nCentroids = 4, rounds = 5)
+    val again = SimilaritySearch.trainCentroids(
+      df, "vec_id", "embedding", nCentroids = 4, rounds = 5)
+    assert(trained.toSeq == again.toSeq)
+    trained.foreach { case (cid, v) =>
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-3, s"cid $cid norm $norm")
+    }
+    // each cluster's base direction is captured by some trained centroid
+    (0 until 4).foreach { c =>
+      val base = Array.tabulate(8)(d =>
+        if (d == c * 2 || d == c * 2 + 1) 1.0 else 0.0)
+      val bn = math.sqrt(2.0)
+      val best = trained.map { case (_, v) =>
+        (0 until 8).map(d => v(d) * base(d)).sum / (bn * math.sqrt(v.map(x => x * x).sum))
+      }.max
+      assert(best > 0.9, s"cluster $c best cosine $best")
+    }
+    // rounds = 0 returns the (renormalization-free) raw seeds — training
+    // actually moved the quantizer
+    val seeds = SimilaritySearch.trainCentroids(
+      df, "vec_id", "embedding", nCentroids = 4, rounds = 0)
+    assert(trained.toSeq != seeds.toSeq)
+  }
+
+  test("trained quantizer: full probe stays exact; Lloyd improves the assignment objective") {
+    import org.apache.spark.sql.functions._
+    val df = clusteredVecs()
+    val q = df.where(col("vec_id") < 4)
+    val trained = SimilaritySearch.trainCentroids(
+      df, "vec_id", "embedding", nCentroids = 4, rounds = 5)
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    // probing every list is exact regardless of where the centroids sit
+    assert(key(SimilaritySearch.ivfTopK(df, q, "vec_id", "embedding",
+      k = 5, nCentroids = 4, nProbe = 4, centroids = Some(trained))) ==
+      key(SimilaritySearch.bruteForceTopK(df, q, "vec_id", "embedding", k = 5)))
+    // k-means objective: mean max-cosine of each vector to its quantizer
+    // must improve over the (deliberately noisy) sampled seeds
+    val vecs = df.collect().map(_.getSeq[Float](1).map(_.toDouble))
+    def objective(cents: Array[(Long, Seq[Double])]): Double = {
+      val per = vecs.map { v =>
+        val vn = math.sqrt(v.map(x => x * x).sum)
+        cents.map { case (_, c) =>
+          val cn = math.sqrt(c.map(x => x * x).sum)
+          v.zip(c).map { case (a, b) => a * b }.sum / (vn * cn)
+        }.max
+      }
+      per.sum / per.length
+    }
+    val sampled = SimilaritySearch.trainCentroids(
+      df, "vec_id", "embedding", nCentroids = 4, rounds = 0)
+    assert(objective(trained) > objective(sampled),
+      s"trained ${objective(trained)} vs sampled ${objective(sampled)}")
+  }
+
   test("lsh top-k returns a subset with matching signature") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
