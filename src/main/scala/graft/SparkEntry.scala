@@ -113,10 +113,23 @@ object SparkEntry {
   /** The minhash pair oracle parameterized over its source relation:
     * `documents` for the batch op; a VALUES literal of the streaming
     * fixture (with batch + event-time columns and `streamingRules`) for
-    * the streaming op, whose deterministic links are the cross-batch
-    * near-dup pairs that also satisfy the event-time rules (arrival not
-    * late, member's bucket still within TTL of the arrival watermark —
-    * bucket activity renews on every non-late co-bucketed arrival).
+    * the streaming op.
+    *
+    * Streaming rules are the EXACT declarative mirror of
+    * [[graft.streaming.StreamingDedup.nearDupCandidates]]'s per-(band,
+    * bucket) state machine: per-row watermark = max prior-batch event
+    * time (delay 0); late rows contribute nothing; a member m links to
+    * a later arrival v iff some band's bucket they share kept m's
+    * membership ALIVE through every batch n in (m.batch, v.batch] —
+    * i.e. no n where wm_n > max(ts of non-late co-bucketed rows in
+    * batches < n) + TTL (that inequality is exactly the read-time /
+    * timeout eviction, and rows of an already-dead bucket incarnation
+    * can never mask a break because their ts + TTL is below the
+    * watermark at their own death). Same-batch co-bucketed pairs always
+    * link (the earlier fixture row is in `members` when the later one
+    * processes). The implementation buckets by xxhash64(slice); the
+    * oracle compares slices directly — identical partitioning absent a
+    * 64-bit hash collision inside a fixture.
     */
   private def minhashOracleSqlOver(
       docsFrom: String, streamingRules: Boolean): String = {
@@ -124,7 +137,6 @@ object SparkEntry {
     import graft.streaming.StreamingDriverQueries.TtlSeconds
     val numHashes = 32; val bands = 8; val rows = numHashes / bands
     val bcol = if (streamingRules) ", batch, ts, wm" else ""
-    val bcond = if (streamingRules) " AND a.batch < b.batch" else ""
     val sigTerms = (0 until numHashes).map(i =>
       s"list_min(list_transform(hv, h -> ((${coeffA(i)}::HUGEINT * h + " +
         s"${coeffB(i)}) % $M61)::BIGINT))")
@@ -135,11 +147,6 @@ object SparkEntry {
           s"$y[${b * rows + 1}:${b * rows + rows}])").mkString("(", " OR ", ")")
     val agree = s"len(list_filter(range(1, ${numHashes + 1}), " +
       s"i -> sa[i] = sb[i]))::DOUBLE / $numHashes"
-    // streaming time rules: per-row watermark (max prior-batch event
-    // time, delay 0), late rows excluded everywhere, and the member's
-    // bucket must have a non-late co-bucketed row (itself included)
-    // within TTL of the arrival's watermark — the declarative mirror of
-    // "state lastTs renews on arrival, expires at read past the TTL"
     val srcCtes =
       if (!streamingRules) ""
       else
@@ -148,35 +155,56 @@ object SparkEntry {
            |    coalesce((SELECT max(p.ts) FROM docsrc p
            |      WHERE p.batch < d.batch), -9223372036854775807) AS wm
            |  FROM docsrc d),
+           |bwm AS (SELECT batch, max(wm) AS wm FROM wms GROUP BY batch),
            |""".stripMargin
     val src = if (streamingRules) "(SELECT * FROM wms WHERE ts >= wm)" else docsFrom
-    val aliveCond =
-      if (!streamingRules) ""
-      else
-        s"""
-           | AND EXISTS (SELECT 1 FROM sig r
-           |   WHERE r.batch < b_batch
-           |     AND (r.doc_id = id_a OR ${bandCheck("r.sg", "sa")})
-           |     AND r.ts + $TtlSeconds >= b_wm)""".stripMargin
-    val candExtra = if (streamingRules) ", b.batch AS b_batch, b.wm AS b_wm" else ""
-    s"""WITH ${srcCtes}docs AS (SELECT doc_id$bcol,
-       |    regexp_extract_all(lower(text),
-       |      '${graft.functions.Tokens.TokenPatternRe2}') AS words
-       |  FROM $src),
-       |sh AS (SELECT doc_id$bcol,
-       |    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
-       |    ELSE list_transform(range(0, len(words)-2),
-       |      i -> array_to_string(words[i+1:i+3], ' ')) END AS shingles
-       |  FROM docs),
-       |hs AS (SELECT doc_id$bcol, list_transform(shingles,
-       |    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT) AS hv FROM sh),
-       |sig AS (SELECT doc_id$bcol, $sigTerms AS sg FROM hs),
-       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    a.sg AS sa, b.sg AS sb$candExtra
-       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id$bcond)
-       |SELECT id_a, id_b, round($agree, 6) AS est_jaccard
-       |FROM cand WHERE ${bandCheck("sa", "sb")}
-       |  AND round($agree, 6) >= 0.5$aliveCond""".stripMargin
+    val shared =
+      s"""${srcCtes}docs AS (SELECT doc_id$bcol,
+         |    regexp_extract_all(lower(text),
+         |      '${graft.functions.Tokens.TokenPatternRe2}') AS words
+         |  FROM $src),
+         |sh AS (SELECT doc_id$bcol,
+         |    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+         |    ELSE list_transform(range(0, len(words)-2),
+         |      i -> array_to_string(words[i+1:i+3], ' ')) END AS shingles
+         |  FROM docs),
+         |hs AS (SELECT doc_id$bcol, list_transform(shingles,
+         |    s -> ('0x' || substring(md5(s), 1, 15))::BIGINT) AS hv FROM sh),
+         |sig AS (SELECT doc_id$bcol, $sigTerms AS sg FROM hs)""".stripMargin
+    if (!streamingRules)
+      s"""WITH $shared,
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sg AS sa, b.sg AS sb
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round($agree, 6) AS est_jaccard
+         |FROM cand WHERE ${bandCheck("sa", "sb")}
+         |  AND round($agree, 6) >= 0.5""".stripMargin
+    else {
+      val bandedSel = (0 until bands).map(b =>
+        s"SELECT doc_id, batch, ts, sg, $b AS band, " +
+          s"sg[${b * rows + 1}:${b * rows + rows}] AS bkt FROM sig")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $shared,
+         |banded AS ($bandedSel),
+         |pairs AS (SELECT m.doc_id AS id_m, v.doc_id AS id_v,
+         |    m.sg AS sa, v.sg AS sb, m.batch AS mb, v.batch AS vb,
+         |    m.band AS band, m.bkt AS bkt
+         |  FROM banded m JOIN banded v
+         |    ON m.band = v.band AND m.bkt = v.bkt
+         |   AND m.doc_id <> v.doc_id
+         |   AND (m.batch < v.batch
+         |     OR (m.batch = v.batch AND m.doc_id < v.doc_id)))
+         |SELECT DISTINCT least(id_m, id_v) AS id_a,
+         |  greatest(id_m, id_v) AS id_b,
+         |  round($agree, 6) AS est_jaccard
+         |FROM pairs c
+         |WHERE round($agree, 6) >= 0.5
+         |  AND NOT EXISTS (SELECT 1 FROM bwm n
+         |    WHERE n.batch > c.mb AND n.batch <= c.vb
+         |      AND n.wm > (SELECT max(r.ts) FROM banded r
+         |        WHERE r.band = c.band AND r.bkt = c.bkt
+         |          AND r.batch < n.batch) + $TtlSeconds)""".stripMargin
+    }
   }
 
   /** VALUES literal of the streaming fixture docs with their micro-batch
@@ -553,15 +581,18 @@ object SparkEntry {
         .toDF("doc_id", "text")
       val merges = graft.ops.Bpe.mergesAsString(
         graft.ops.Bpe.trainFromCorpus(docs, "text", numMerges = BpeMerges))
+      // encode ONCE per row into a column, then pick ends — two
+      // independent graft_bpe_encode instances would each re-tokenize
+      // the document (and CollapseProject keeps the non-cheap alias
+      // materialized, so this stays a single evaluation)
       docs.select(col("doc_id"),
         call_function("graft_bpe_count", col("text"), lit(merges))
           .as("n_bpe_tokens"),
-        element_at(
-          call_function("graft_bpe_encode", col("text"), lit(merges)), 1)
-          .as("first_token"),
-        element_at(
-          call_function("graft_bpe_encode", col("text"), lit(merges)), -1)
-          .as("last_token"))
+        call_function("graft_bpe_encode", col("text"), lit(merges))
+          .as("toks"))
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          element_at(col("toks"), 1).as("first_token"),
+          element_at(col("toks"), -1).as("last_token"))
     }),
     "q_lang_dist" -> ((s, dir) => {
       t(s, dir, "documents").groupBy("lang")
@@ -839,27 +870,40 @@ object SparkEntry {
     "q_cc_resume" -> ((s, _) => {
       reg(s)
       val dir = java.nio.file.Files
-        .createTempDirectory("graft_cc_resume").toString
-      val files = RepoFiles.generate(s, nFiles = 1000, seed = 42L)
-      val tokens =
-        Tokenizer.pruneCommon(Tokenizer.tokenize(files), knownFileCount = 1000)
-      val edges = Scoring.edges(Scoring.score(
-        Blocking.candidatePairs(Blocking.blockingKeys(tokens))))
-        .localCheckpoint() // one edge materialization shared by both runs
-      val io1 = new graft.io.TableIO(s, dir)
-      val (_, iterKilled) = graft.pipeline.ConnectedComponents.runCounted(
-        s, files.select("file_id"), edges, maxIterations = 2,
-        durable = Some((io1, 2)), lineageToken = "edges-fixture-v1")
-      require(iterKilled == 2 && io1.isCommitted("cc_round_2"),
-        "phase 1 must stop mid-closure with a committed snapshot")
-      val io2 = new graft.io.TableIO(s, dir) // fresh driver over same root
-      graft.pipeline.ConnectedComponents.run(
-        s, files.select("file_id"), edges,
-        durable = Some((io2, 2)), lineageToken = "edges-fixture-v1")
-        .join(files.select("file_id", "entity_id"), "file_id")
-        .groupBy("cluster_id")
-        .agg(count(lit(1)).as("cluster_size"),
-          countDistinct("entity_id").as("n_families"))
+        .createTempDirectory("graft_cc_resume")
+      try {
+        val files = RepoFiles.generate(s, nFiles = 1000, seed = 42L)
+        val tokens =
+          Tokenizer.pruneCommon(Tokenizer.tokenize(files), knownFileCount = 1000)
+        val edges = Scoring.edges(Scoring.score(
+          Blocking.candidatePairs(Blocking.blockingKeys(tokens))))
+          .localCheckpoint() // one edge materialization shared by both runs
+        val io1 = new graft.io.TableIO(s, dir.toString)
+        val (_, iterKilled) = graft.pipeline.ConnectedComponents.runCounted(
+          s, files.select("file_id"), edges, maxIterations = 2,
+          durable = Some((io1, 2)), lineageToken = "edges-fixture-v1")
+        require(iterKilled == 2 && io1.isCommitted("cc_round_2"),
+          "phase 1 must stop mid-closure with a committed snapshot")
+        val io2 = new graft.io.TableIO(s, dir.toString) // fresh driver, same root
+        graft.pipeline.ConnectedComponents.run(
+          s, files.select("file_id"), edges,
+          durable = Some((io2, 2)), lineageToken = "edges-fixture-v1")
+          .join(files.select("file_id", "entity_id"), "file_id")
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("cluster_size"),
+            countDistinct("entity_id").as("n_families"))
+          // eager: materialize the (tiny) cluster table BEFORE the
+          // snapshot root below is deleted out from under the plan
+          .localCheckpoint()
+      } finally {
+        // the snapshots are single-use fixture state — delete the tree
+        // so repeated runs (Verify + Bench pass-pairs) don't pile up
+        // temp directories
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }),
     // ---- the linkage pipeline itself (north rule; rows-only) ----
     "q_linkage_clusters" -> ((s, dir) => {

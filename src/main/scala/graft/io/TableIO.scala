@@ -65,11 +65,26 @@ final class TableIO(spark: SparkSession, root: String) {
     }
     if (isCommitted(stage)) {
       val stale = upstream.exists { u =>
-        // None == None (never a stage) is fresh; any other mismatch —
-        // recomputed upstream (different token), upstream invalidated
-        // since (Some -> None), or upstream committed where none existed
-        // when this stage ran (None -> Some) — is stale
-        committedToken(u) != upstreamTokenOf(stage, u)
+        (committedToken(u), upstreamTokenOf(stage, u)) match {
+          case (None, None) =>
+            // either a non-stage upstream entry (no manifest on either
+            // side — fresh), or a PRE-TOKEN manifest pair written by an
+            // older build: fall back to the wall-clock ordering those
+            // manifests do carry, judging same-or-later upstream
+            // commits stale (conservative: recompute beats silently
+            // resuming against a recomputed upstream)
+            (committedAt(u), committedAt(stage)) match {
+              case (Some(up), Some(down)) =>
+                !java.time.Instant.parse(up)
+                  .isBefore(java.time.Instant.parse(down))
+              case _ => false
+            }
+          // any other mismatch — recomputed upstream (different token),
+          // upstream invalidated since (Some -> None), or upstream
+          // committed where none existed when this stage ran
+          // (None -> Some) — is stale
+          case (a, b) => a != b
+        }
       }
       if (!stale) return read(stage)
       invalidate(stage)

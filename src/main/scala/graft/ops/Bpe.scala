@@ -45,12 +45,23 @@ object Bpe {
 
   private val WordRe = "[a-z0-9]+".r
 
+  /** ASCII-only case fold: 'A'-'Z' to 'a'-'z', every other char
+    * unchanged. Deliberately NOT String.toLowerCase — the JVM's
+    * locale-sensitive slow path (e.g. Turkish 'I' -> dotless 'ı') and
+    * Spark's `lower()` can disagree per locale, and the word regex only
+    * keeps [a-z0-9] anyway; an ASCII fold is the one mapping that is
+    * identical in the pure path, Spark `translate`, and any oracle
+    * engine, for any input and any JVM default locale.
+    */
+  private[ops] def asciiFold(text: String): String =
+    text.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+
   /** Lowercased alphanumeric words of a text — the SINGLE tokenization
     * spec shared by the pure path, the distributed path (same regex via
-    * `regexp_extract_all`) and the encoder.
+    * `regexp_extract_all` over the same ASCII fold) and the encoder.
     */
   def words(text: String): Seq[String] =
-    WordRe.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toSeq
+    WordRe.findAllIn(asciiFold(text)).toSeq
 
   /** Initial symbol sequence of a word: one symbol per char plus the
     * end-of-word sentinel.
@@ -197,7 +208,13 @@ object Bpe {
       maxVocab: Int = 50000): Vector[(String, String)] = {
     val wf = docs
       .select(explode(
-        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+        // translate = ASCII-only case fold, matching [[asciiFold]]
+        // exactly on every JVM locale (Spark's lower() delegates
+        // non-ASCII strings to locale-sensitive String.toLowerCase)
+        regexp_extract_all(
+          translate(col(textCol),
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"),
+          lit("[a-z0-9]+"), lit(0)))
         .as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w").asc)

@@ -150,12 +150,22 @@ object SimilaritySearch {
       if (probes <= 0) banded(queries, idCol, "query_id", "qvec")
       else {
         val maxProbes = math.min(probes, nPlanes)
+        // exact-bucket sigs come from the SAME fused expression as the
+        // data side (fail-loud on a malformed vector, one codegen'd
+        // pass); the per-band projection arrays are materialized ONCE
+        // in this projection — the margin ranking below references the
+        // column instead of re-embedding the nPlanes x dim plane
+        // literals per use (CollapseProject keeps non-cheap aliases)
+        val base = queries.select(
+          col(idCol).as("query_id"), col(vecCol).as("qvec"),
+          call_function("graft_lsh_signatures", col(vecCol),
+            lit(dim), lit(nPlanes), lit(bands), lit(0)).as("xsigs"),
+          array((0 until bands).map(b =>
+            lshProjections(col(vecCol), dim, nPlanes, seed = b)): _*)
+            .as("projs"))
         val perBand = (0 until bands).map { b =>
-          val proj = lshProjections(col(vecCol), dim, nPlanes, seed = b)
-          val sig = (0 until nPlanes).map { p =>
-            when(element_at(proj, p + 1) > 0, shiftleft(lit(1L), p))
-              .otherwise(0L)
-          }.reduce(_.bitwiseOR(_))
+          val proj = element_at(col("projs"), b + 1)
+          val sig = element_at(col("xsigs"), b + 1)
           // planes ranked by |margin| asc, plane index breaking exact
           // double ties (mask = 1L << p is monotone in p, so ordering by
           // mask == ordering by p) — the DuckDB oracle ranks identically
@@ -169,8 +179,8 @@ object SimilaritySearch {
             s => sig.bitwiseXOR(s.getField("mask")))
           struct(lit(b).as("band"), concat(array(sig), flips).as("sigs"))
         }
-        queries
-          .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        base
+          .select(col("query_id"), col("qvec"),
             explode(array(perBand: _*)).as("bp"))
           .select(col("query_id"), col("qvec"),
             col("bp.band").as("band"), explode(col("bp.sigs")).as("sig"))

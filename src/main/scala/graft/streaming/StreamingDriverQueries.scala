@@ -207,13 +207,21 @@ object StreamingDriverQueries {
     * scalar single-sources-of-truth the batch pipeline uses
     * ([[graft.pipeline.Blocking.scalarBlockKeys]] intersect +
     * [[graft.pipeline.Scoring.clusterMatch]]) plus the streaming time
-    * rules: cross-batch only; the arrival must not be late (event time >=
-    * its batch's watermark); and the member's block must still be alive —
-    * some non-late co-blocking row in an earlier batch within TTL of the
-    * arrival batch's watermark (block activity renews on every arrival,
-    * so smyth@1050 extends smith's block, but 2050-batch watermark 2000
-    * is past 1050+100 and the block is gone). The determinism pin for the
-    * stateful streaming path.
+    * rules: cross-batch only (the fixture guarantees no same-batch
+    * co-blockers); the arrival must not be late (event time >= its
+    * batch's watermark); and the member's membership in some SHARED
+    * block must have survived every batch between member and arrival.
+    * Membership in block k survives batch n iff
+    * `wm_n <= max(ts of non-late k-rows in batches < n) + TTL` — the
+    * exact read-time / timeout eviction rule of
+    * [[StreamingLinkage.edgesWithTime]]'s per-block state, checked per
+    * block rather than per co-blocker (a renewal in a DIFFERENT block
+    * of the member must not keep this block alive), and for every
+    * intermediate batch (an evicted-then-recreated block has lost the
+    * member even if it is active again at arrival time). Rows of a
+    * dead block incarnation can never mask a break: their ts + TTL is
+    * below the watermark at their own death. The determinism pin for
+    * the stateful streaming path.
     */
   def expectedLinkageEdges: Seq[(Long, Long)] = {
     val all = tokenBatches.zipWithIndex.flatMap { case (b, i) =>
@@ -225,20 +233,22 @@ object StreamingDriverQueries {
     def late(batch: Int, ts: Long): Boolean =
       ts < watermarkAt(tokenBatches, batch)
     val accepted = all.filterNot { case (b, _, _, ts) => late(b, ts) }
+    // membership of a batch-bM member in block k still alive at the end
+    // of batch bA: no intermediate batch's watermark passed the block's
+    // then-current lastTs + TTL
+    def blockAlive(k: String, bM: Int, bA: Int): Boolean =
+      ((bM + 1) to bA).forall { n =>
+        val lastTs = accepted.collect {
+          case (bR, idR, _, tsR) if bR < n && keysOf(idR).contains(k) => tsR
+        }.max // non-empty: the member itself is a k-row in batch bM < n
+        watermarkAt(tokenBatches, n) <= lastTs + TtlSeconds
+      }
     (for {
       (bM, idM, tokM, _) <- accepted
       (bA, idA, tokA, _) <- accepted
       if bM < bA
-      if keysOf(idM).intersect(keysOf(idA)).nonEmpty
       if graft.pipeline.Scoring.clusterMatch(tokM, tokA)
-      wmA = watermarkAt(tokenBatches, bA)
-      // block-alive: any earlier non-late co-blocker of the member keeps
-      // its block's lastTs within TTL of the arrival's watermark
-      if accepted.exists { case (bR, idR, _, tsR) =>
-        bR < bA &&
-          (idR == idM || keysOf(idR).intersect(keysOf(idM)).nonEmpty) &&
-          tsR + TtlSeconds >= wmA
-      }
+      if keysOf(idM).intersect(keysOf(idA)).exists(blockAlive(_, bM, bA))
     } yield (math.min(idM, idA), math.max(idM, idA))).distinct.sorted
   }
 }

@@ -140,6 +140,56 @@ class TableIOSpec extends AnyFunSuite {
     assert(io.metadataOf("m3", "z").contains("2"))
   }
 
+  test("a metadata key equal to an upstream name reads the metadata value, not the token") {
+    import spark.implicits._
+    val io = new TableIO(spark, tmpDir())
+    io.stage("edges") { (1 to 3).toDF("n") }
+    io.stage("s", upstream = Seq("edges"),
+      metadata = Map("edges" -> "v1")) { io.read("edges") }
+    // the metadata scan anchors at "metadata":{ which sits AFTER the
+    // upstream_tokens object and cannot cross its closing brace — a key
+    // shadowing an upstream name must still read its own value
+    assert(io.metadataOf("s", "edges").contains("v1"))
+    val tok = io.committedToken("edges").get
+    val m = io.manifest("s").get
+    assert(m.contains("\"upstream_tokens\":{\"edges\":\"" + tok + "\"}"), m)
+  }
+
+  test("pre-token manifests fall back to wall-clock staleness") {
+    import spark.implicits._
+    val root = tmpDir()
+    val io = new TableIO(spark, root)
+    io.stage("a") { (1 to 3).toDF("n") }
+    io.stage("b", upstream = Seq("a")) { io.read("a") }
+    // rewrite both manifests to the PRE-TOKEN format (no commit_token /
+    // upstream_tokens) with controlled commit instants
+    def degrade(stage: String, at: String): Unit = {
+      val p = java.nio.file.Paths.get(root, s"$stage.manifest.json")
+      var m = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      m = m.replaceAll("\"commit_token\":\"[^\"]*\",", "")
+      m = m.replaceAll("\"upstream_tokens\":\\{[^}]*\\},", "")
+      m = m.replaceAll("\"committed_at\":\"[^\"]+\"",
+        "\"committed_at\":\"" + at + "\"")
+      java.nio.file.Files.write(p, m.getBytes("UTF-8"))
+      // drop the Hadoop LocalFileSystem checksum sidecar the out-of-band
+      // rewrite just invalidated
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(root, s".$stage.manifest.json.crc"))
+    }
+    // upstream recommitted AFTER the downstream (what the removed
+    // Instant ordering used to catch): must recompute, not resume
+    degrade("a", "2026-01-02T00:00:00Z")
+    degrade("b", "2026-01-01T00:00:00Z")
+    var recomputed = false
+    io.stage("b", upstream = Seq("a")) { recomputed = true; io.read("a") }
+    assert(recomputed, "old-format stale downstream must recompute")
+    // b is now new-format but a still has no token: the downstream is
+    // newer than the old-format upstream, so it resumes
+    var again = false
+    io.stage("b", upstream = Seq("a")) { again = true; io.read("a") }
+    assert(!again, "downstream newer than old-format upstream must resume")
+  }
+
   test("upstream lineage is recorded") {
     import spark.implicits._
     val io = new TableIO(spark, tmpDir())

@@ -311,6 +311,22 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  test("multi-probe lsh rejects a malformed query vector loudly") {
+    import spark.implicits._
+    val dim = 8
+    val good = (0L until 20L)
+      .map(i => (i, Array.fill(dim)(0.5f))).toDF("vec_id", "embedding")
+    val badQ = Seq((99L, Array.fill(dim - 1)(0.5f)))
+      .toDF("vec_id", "embedding")
+    // the probed query side must inherit the fused expression's length
+    // check — a short vector silently null-padded by zip_with would
+    // probe garbage buckets instead of erroring
+    intercept[Exception] {
+      SimilaritySearch.lshTopK(good, badQ, "vec_id", "embedding",
+        dim = dim, k = 3, nPlanes = 4, bands = 2, probes = 2).collect()
+    }
+  }
+
   test("ivf with nProbe == nCentroids is exactly brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
