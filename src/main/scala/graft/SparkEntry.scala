@@ -110,6 +110,36 @@ object SparkEntry {
   private def minhashOracleSql: String =
     minhashOracleSqlOver("documents", streamingRules = false)
 
+  /** DuckDB oracle for `q_neardup_clusters`: the MinHash pair oracle's
+    * edges, transitively closed with a recursive CTE (undirected label
+    * propagation — each doc's cluster_id is the min doc_id reachable
+    * through near-dup edges, exactly what min-label CC converges to),
+    * then the same representative rule (longest text, ties to lowest id;
+    * null text ranks as -1) recomputed relationally.
+    */
+  private def nearDupClustersOracleSql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (${minhashOracleSql.replace("\n", "\n  ")}),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+       |labels AS (SELECT id AS doc_id, min(lab) AS cluster_id
+       |  FROM reach GROUP BY id),
+       |ranked AS (SELECT l.doc_id, l.cluster_id,
+       |    coalesce(length(d.text), -1) AS tlen
+       |  FROM labels l JOIN documents d USING (doc_id)),
+       |mx AS (SELECT cluster_id, max(tlen) AS mlen
+       |  FROM ranked GROUP BY cluster_id),
+       |rep AS (SELECT r.cluster_id, min(r.doc_id) AS rep_id
+       |  FROM ranked r JOIN mx USING (cluster_id)
+       |  WHERE r.tlen = mx.mlen GROUP BY r.cluster_id)
+       |SELECT r.doc_id AS id, r.cluster_id,
+       |  (r.doc_id = rep.rep_id) AS keep
+       |FROM ranked r JOIN rep USING (cluster_id)""".stripMargin
+
   /** The minhash pair oracle parameterized over its source relation:
     * `documents` for the batch op; a VALUES literal of the streaming
     * fixture (with batch + event-time columns and `streamingRules`) for
@@ -740,6 +770,13 @@ object SparkEntry {
         numHashes = 32, bands = 8)
         .where(col("est_jaccard") >= 0.5)
     }),
+    // fuzzy dedup end-to-end: MinHash edges -> connected components ->
+    // one representative per group (longest text, lowest id) — the
+    // training-corpus dedup resolution, not just pair detection
+    "q_neardup_clusters" -> ((s, dir) => {
+      Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5)
+    }),
     "q_simhash" -> ((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
     }),
@@ -1072,6 +1109,7 @@ object SparkEntry {
     "q_langid" -> langIdOracleSql,
     "q_langid_scored" -> langIdScoredOracleSql(minHits = 2),
     "q_minhash_dedup" -> minhashOracleSql,
+    "q_neardup_clusters" -> nearDupClustersOracleSql,
     "q_simhash" -> simhashOracleSql,
     "q_ann_lsh" -> annLshOracleSql,
     "q_ann_lsh_mp" -> annLshMpOracleSql,

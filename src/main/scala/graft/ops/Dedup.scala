@@ -202,4 +202,50 @@ object Dedup {
       .select("id_a", "id_b", "cos_sim")
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Near-dup CLUSTERING with representative selection — the fuzzy-dedup
+    * shape a training-data pipeline actually runs at corpus scale:
+    * [[minhashCandidates]] pairs at `est_jaccard >= threshold` become
+    * edges, connected components (the linkage pipeline's frontier
+    * min-label + pointer-jumping loop, O(log diameter) shuffle rounds)
+    * resolve the transitive groups, and ONE representative per group is
+    * kept — the longest text, ties broken by lowest id. Output: (id,
+    * cluster_id, keep) for EVERY input row; cluster_id is the smallest id
+    * in the group (a singleton labels itself, keep = true), so a consumer
+    * deduplicates with `where(keep)` and audits with a cluster_id join.
+    *
+    * Scale shape: edges come from the banded bucket equi-join (never
+    * O(n^2)); the closure reuses [[graft.pipeline.ConnectedComponents]];
+    * representative selection is two map-side-combinable aggregations
+    * (max length per cluster, then min id among the longest) joined back
+    * on cluster_id — no per-key window, so a degenerate giant cluster
+    * cannot funnel through one task.
+    */
+  def nearDupClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val edges = minhashCandidates(df, idCol, textCol, numHashes, bands)
+      .where(col("est_jaccard") >= threshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val vertices = df.select(col(idCol).as("file_id"))
+    val labels = graft.pipeline.ConnectedComponents
+      .run(df.sparkSession, vertices, edges)
+    // -1 stands in for a null text so null-content docs still rank (and a
+    // null-text singleton is still its own representative)
+    val withLen = labels.join(
+      df.select(col(idCol).as("file_id"),
+        coalesce(length(col(textCol)), lit(-1)).as("tlen")),
+      Seq("file_id"))
+    val mx = withLen.groupBy("cluster_id").agg(max("tlen").as("mlen"))
+    val rep = withLen.join(mx, Seq("cluster_id"))
+      .where(col("tlen") === col("mlen"))
+      .groupBy("cluster_id").agg(min("file_id").as("rep_id"))
+    withLen.join(rep, Seq("cluster_id"))
+      .select(col("file_id").as("id"), col("cluster_id"),
+        (col("file_id") === col("rep_id")).as("keep"))
+  }
 }

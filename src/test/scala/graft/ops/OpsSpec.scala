@@ -125,6 +125,59 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
   }
 
+  test("nearDupClusters: transitive closure of the pair op + " +
+    "longest/min-id representative, every row labeled once") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep green forest while nobody watches it"
+    val texts = Map(
+      1L -> base,
+      2L -> base.replace("quick", "fast"),
+      3L -> ("completely different content about database systems and " +
+        "distributed query engines processing large volumes of data daily"),
+      4L -> base,
+      5L -> (base + " with a few extra trailing words appended"),
+      6L -> "short unrelated note")
+    val df = texts.toSeq.sortBy(_._1).toDF("doc_id", "text")
+    // independent scalar union-find over the SAME pairs the pair op
+    // emits — pins clusters = transitive closure regardless of which
+    // borderline pairs band-collide at these parameters
+    val pairs = Dedup
+      .minhashCandidates(df, "doc_id", "text", numHashes = 32, bands = 8)
+      .where(col("est_jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map((1L to 6L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (1L to 6L).map(i => i -> find(i)).toMap
+
+    val out = Dedup.nearDupClusters(df, "doc_id", "text",
+      numHashes = 32, bands = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.map(_._1).sorted.toSeq == (1L to 6L),
+      s"every input row labeled exactly once: ${out.toSeq}")
+    out.foreach { case (id, cid, _) =>
+      assert(cid == expected(id), s"doc $id: cluster $cid != ${expected(id)}")
+    }
+    out.groupBy(_._2).foreach { case (cid, rows) =>
+      val keepers = rows.filter(_._3).map(_._1)
+      assert(keepers.length == 1, s"cluster $cid keepers: ${keepers.toSeq}")
+      val members = rows.map(_._1)
+      val maxLen = members.map(texts(_).length).max
+      assert(keepers.head ==
+        members.filter(texts(_).length == maxLen).min,
+        s"cluster $cid representative")
+    }
+    // the fixture must actually exercise a multi-doc cluster (1 and 4 are
+    // identical, est 1.0 — they always co-bucket)
+    assert(out.count(_._2 == 1L) >= 2, s"no multi-doc cluster: ${out.toSeq}")
+  }
+
   test("embedding near-dups: identical and noisy copies found, opposite not") {
     import spark.implicits._
     val dim = 16
