@@ -536,7 +536,7 @@ object SparkEntry {
     val pairs = Blocking.candidatePairs(keys)
     val edges = Scoring.edges(Scoring.score(pairs))
     graft.pipeline.ConnectedComponents
-      .run(spark, files.select("file_id"), edges)
+      .run(spark, files.select("file_id"), edges, canonicalEdges = true)
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
   }
@@ -918,13 +918,15 @@ object SparkEntry {
         val io1 = new graft.io.TableIO(s, dir.toString)
         val (_, iterKilled) = graft.pipeline.ConnectedComponents.runCounted(
           s, files.select("file_id"), edges, maxIterations = 2,
-          durable = Some((io1, 2)), lineageToken = "edges-fixture-v1")
+          durable = Some((io1, 2)), lineageToken = "edges-fixture-v1",
+          canonicalEdges = true)
         require(iterKilled == 2 && io1.isCommitted("cc_round_2"),
           "phase 1 must stop mid-closure with a committed snapshot")
         val io2 = new graft.io.TableIO(s, dir.toString) // fresh driver, same root
         graft.pipeline.ConnectedComponents.run(
           s, files.select("file_id"), edges,
-          durable = Some((io2, 2)), lineageToken = "edges-fixture-v1")
+          durable = Some((io2, 2)), lineageToken = "edges-fixture-v1",
+          canonicalEdges = true)
           .join(files.select("file_id", "entity_id"), "file_id")
           .groupBy("cluster_id")
           .agg(count(lit(1)).as("cluster_size"),
@@ -952,7 +954,7 @@ object SparkEntry {
       val pairs = Blocking.candidatePairs(keys)
       val edges = Scoring.edges(Scoring.score(pairs))
       graft.pipeline.ConnectedComponents
-        .run(s, files.select("file_id"), edges)
+        .run(s, files.select("file_id"), edges, canonicalEdges = true)
         .join(files.select("file_id", "entity_id"), "file_id")
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("cluster_size"),

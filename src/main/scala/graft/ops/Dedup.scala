@@ -59,9 +59,18 @@ object Dedup {
     require(bands * rows == numHashes, "bands must divide numHashes")
     graft.functions.GraftFunctions.register(df.sparkSession)
 
+    // Materialize the signatures ONCE: the bucket-size pass and the join
+    // pass below are two plan branches over `banded`, and only the sizing
+    // branch ends in an exchange — without this, the (md5-per-shingle)
+    // signature expression is evaluated twice per document. One signature
+    // row is (id, numHashes longs), far narrower than the banded rows the
+    // downstream join shuffles anyway, so holding it (memory, spilling to
+    // disk) is strictly cheaper than a second full tokenize+hash pass —
+    // the guide §5 "reused AND recompute is more expensive" case.
     val sigs = df
       .select(col(idCol).as("id"),
         minhashSignature(col(textCol), numHashes).as("sig"))
+      .localCheckpoint()
 
     val banded = sigs.select(
       col("id"), col("sig"),
@@ -233,7 +242,8 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val vertices = df.select(col(idCol).as("file_id"))
     val labels = graft.pipeline.ConnectedComponents
-      .run(df.sparkSession, vertices, edges)
+      .run(df.sparkSession, vertices, edges,
+        canonicalEdges = true) // minhash pairs: distinct, id_a < id_b
     // -1 stands in for a null text so null-content docs still rank (and a
     // null-text singleton is still its own representative)
     val withLen = labels.join(

@@ -26,6 +26,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to disk-backed stream caches: every encode/decode
+  // spills through a temp FILE in java.io.tmpdir. All payloads here are
+  // in-memory byte arrays (and real pipelines feed decoded blobs from
+  // column batches the same way), so the disk round-trip is pure
+  // overhead on every PNG/WAV/AVI encode + decode (MJPEG pays it per
+  // frame). Memory-cached streams produce byte-identical codec output.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried beside the binary payload. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -127,6 +127,15 @@ object Blocking {
       degenerateBlockSize: Int = 1000000): DataFrame = {
     require(degenerateBlockSize >= maxBlockSize,
       s"degenerateBlockSize $degenerateBlockSize < maxBlockSize $maxBlockSize")
+    // Materialize the key table ONCE: the sizing aggregate below and the
+    // pairing join are two branches over `keys`, and only the sizing
+    // branch ends in an exchange — without this the whole blocking-key
+    // projection (12 encoders, Beider-Morse included) runs twice per
+    // input row. The checkpoint holds exactly what the window exchange
+    // shuffles next anyway (key, file_id, token) and spills to disk under
+    // pressure; at warehouse scale the keys table is a persisted TableIO
+    // stage and this materialization is that stage's in-memory analogue.
+    val keyRows = keys.localCheckpoint()
     // Block sizing WITHOUT a per-key window: a count(*) over
     // Window.partitionBy(key) would funnel every row of a degenerate block
     // through one task before it can be discarded. groupBy gets map-side
@@ -134,7 +143,7 @@ object Blocking {
     // (each key is > maxBlockSize rows), so it broadcasts into a hash join
     // and hot keys are salted/dropped before any shuffle-by-key of the
     // full data.
-    val oversized = keys
+    val oversized = keyRows
       .groupBy("key").agg(count(lit(1)).as("block_size"))
       .where(col("block_size") > maxBlockSize)
       .select(col("key"),
@@ -142,7 +151,7 @@ object Blocking {
           .otherwise((floor((col("block_size") - 1) / maxBlockSize) + 1)
             .cast("int"))
           .as("n_segments"))
-    val sized = keys
+    val sized = keyRows
       .join(broadcast(oversized), Seq("key"), "left")
       // degenerate tier: drop
       .where(coalesce(col("n_segments"), lit(1)) > 0)

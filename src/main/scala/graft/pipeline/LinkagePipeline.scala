@@ -71,7 +71,8 @@ final class LinkagePipeline(
         input.select("file_id"),
         edges,
         durable = Some((io, 8)),
-        lineageToken = io.committedToken("edges").getOrElse(""))
+        lineageToken = io.committedToken("edges").getOrElse(""),
+        canonicalEdges = true) // Scoring.edges: distinct, src < dst
     }
 
     // output partitioned by lang (low cardinality): downstream consumers

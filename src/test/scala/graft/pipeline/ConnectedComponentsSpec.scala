@@ -150,6 +150,32 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("small- and large-graph loops agree (labels AND round counts)") {
+    import spark.implicits._
+    // the same seeded random topologies through BOTH physical loops:
+    // smallGraphMaxEdges=0 forces the DataFrame loop, the default runs
+    // the fixed-partitioner RDD loop — identical algorithm, so labels
+    // and round counts must match exactly
+    (0 until 6).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val n = 8 + rnd.nextInt(60)
+      val edges = Seq.fill(rnd.nextInt(2 * n))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val vdf = (0L until n.toLong).toDF("file_id")
+      val edf = edges.toDF("src", "dst")
+      val (small, roundsSmall) =
+        ConnectedComponents.runCounted(spark, vdf, edf)
+      val (large, roundsLarge) = ConnectedComponents.runCounted(
+        spark, vdf, edf, smallGraphMaxEdges = 0L)
+      assert(roundsSmall == roundsLarge, s"seed=$seed")
+      assert(
+        small.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+          large.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+        s"seed=$seed n=$n edges=$edges")
+    }
+  }
+
   test("pointer jumping converges in O(log diameter) rounds") {
     import spark.implicits._
     // 512-vertex path: plain propagation would need ~512 rounds
