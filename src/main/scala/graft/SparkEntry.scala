@@ -29,14 +29,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Golden-fixture DataFrames ride a SINGLE-partition RDD, not a
+    * LocalRelation: `Seq.toDF` parallelizes to defaultParallelism tasks
+    * (32 near-empty tasks per sub-hundred-row fixture — pure scheduling
+    * overhead), and a deterministic projection over a LocalRelation is
+    * additionally folded DRIVER-side by ConvertToLocalRelation, so the
+    * encoder expressions would not even run as a distributed job. One
+    * task per fixture, encoders on executors (same rows either way).
+    */
   private def tokensDf(s: SparkSession, tokens: Seq[String]): DataFrame = {
     import s.implicits._
-    tokens.toDF("token")
+    s.sparkContext.parallelize(tokens, 1).toDF("token")
   }
 
   private def pairsDf(s: SparkSession, pairs: Seq[(String, String)]): DataFrame = {
     import s.implicits._
-    pairs.toDF("token_a", "token_b")
+    s.sparkContext.parallelize(pairs, 1).toDF("token_a", "token_b")
   }
 
   /** Golden-vector unary-encoder query: encode the reference's own test
@@ -887,7 +895,14 @@ object SparkEntry {
       val tokens = io1.stage("tokens", upstream = Seq("input")) {
         Tokenizer.tokenize(input)
       }
-      val r1 = Seq("input" -> input.count(), "tokens" -> tokens.count())
+      // first-run row counts come from the commit manifests (observe()'d
+      // during the write — the lineage metadata exists so downstreams
+      // never re-scan committed data for a cardinality); the CONSISTENCY
+      // check below still re-counts through the fresh TableIO, so the
+      // manifest-vs-recount comparison is part of what the oracle pins
+      val r1 = Seq(
+        "input" -> io1.committedRows("input").getOrElse(-1L),
+        "tokens" -> io1.committedRows("tokens").getOrElse(-1L))
       // fresh TableIO over the same root: both stages must resume from
       // the committed snapshots (manifest present, same row counts)
       val io2 = new graft.io.TableIO(s, dir)

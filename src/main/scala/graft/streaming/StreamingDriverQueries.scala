@@ -131,15 +131,44 @@ object StreamingDriverQueries {
     // (Real deployments size this to their ingest rate; the semantics
     // under test are partition-count independent.)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    // NOTE: no-data micro-batches must stay ON — they are where the
+    // engine lands the watermark advance, so removing them runs the next
+    // DATA batch against a stale watermark (measured on this fixture:
+    // the post-TTL revisit doc is wrongly deduped and the late row
+    // wrongly emitted). Half the micro-batches are therefore inherent
+    // fixed cost of the event-time semantics under test.
+    // Checkpoint-file checksums (corruption detection for long-lived
+    // durable checkpoints) double the WAL file writes per micro-batch;
+    // this checkpoint is single-use scratch that is deleted on return,
+    // so they buy nothing here.
+    val prevCksum = spark.conf
+      .get("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    spark.conf
+      .set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // ephemeral checkpoint on tmpfs: the offset/commit WALs and the state
+    // store's per-batch delta files are scratch for this in-memory
+    // fixture (a real deployment points this at durable storage), and
+    // the default java.io.tmpdir here is spinning-disk-backed — every
+    // micro-batch paid several file creates + syncs on the query's
+    // critical path
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm))
+        Some(java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_"))
+      else None
     // the override is restored only after the query is fully stopped (the
     // stream captures the setting during micro-batch planning, which runs
     // asynchronously after start()) — and on EVERY exit path, including
     // start() itself throwing, so a failed streaming query can never leak
     // partitions=2 into the rest of the session
     try {
-      val query = out.writeStream
-        .format("memory").queryName(name).outputMode("append").start()
+      var writer = out.writeStream
+        .format("memory").queryName(name).outputMode("append")
+      ckpt.foreach(p => writer = writer
+        .option("checkpointLocation", p.toString))
+      val query = writer.start()
       try {
         batches.foreach { b =>
           input.addData(b: _*)
@@ -153,7 +182,17 @@ object StreamingDriverQueries {
         query.stop()
         spark.catalog.dropTempView(name)
       }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set(
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled", prevCksum)
+      ckpt.foreach { p =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(q => java.nio.file.Files.deleteIfExists(q))
+      }
+    }
   }
 
   /** Streaming exact dedup over the three batches: survivors =
