@@ -29,6 +29,33 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive partition count for the synthetic fixture
+    * generators: ~250 rows per task keeps each task's work above its
+    * scheduling overhead (a 1000-row fixture otherwise fans into
+    * defaultParallelism near-empty tasks at EVERY narrow stage derived
+    * from it), while any fixture >= 250 x defaultParallelism rows gets
+    * the full core count — so nothing changes at real scale.
+    */
+  private def genParts(s: SparkSession, nFiles: Long): Int =
+    math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong, nFiles / 250)).toInt
+
+  /** Single-use scratch directory for the checkpoint-fixture queries,
+    * on tmpfs when available: the fixtures create, exercise and DELETE a
+    * TableIO root within one query, so putting that scratch on the
+    * (disk-backed) java tmpdir only adds unrelated I/O latency to the
+    * timed path. Durability semantics under test (atomic rename, commit
+    * manifests, staleness tokens) are filesystem-agnostic — TableIO goes
+    * through the Hadoop FileSystem API either way.
+    */
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
   /** Golden-fixture DataFrames ride a SINGLE-partition RDD, not a
     * LocalRelation: `Seq.toDF` parallelizes to defaultParallelism tasks
     * (32 near-empty tasks per sub-hundred-row fixture — pure scheduling
@@ -883,35 +910,46 @@ object SparkEntry {
     // ---- checkpoint/lineage layer (TableIO commit + resume) ----
     "q_checkpoint_lineage" -> ((s, _) => {
       import s.implicits._
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_ckpt").toString
-      val io1 = new graft.io.TableIO(s, dir)
-      // 4 partitions for a 200-row fixture: the stage commits otherwise
-      // write 32 near-empty parquet files each (generation is per-row
-      // deterministic, so row counts are partition-independent)
-      val files = RepoFiles.generate(s, nFiles = 200, seed = 42L,
-        partitions = 4)
-      val input = io1.stage("input") { files }
-      val tokens = io1.stage("tokens", upstream = Seq("input")) {
-        Tokenizer.tokenize(input)
+      val dirPath = scratchDir("graft_ckpt")
+      try {
+        val dir = dirPath.toString
+        val io1 = new graft.io.TableIO(s, dir)
+        // 4 partitions for a 200-row fixture: the stage commits otherwise
+        // write 32 near-empty parquet files each (generation is per-row
+        // deterministic, so row counts are partition-independent)
+        val files = RepoFiles.generate(s, nFiles = 200, seed = 42L,
+          partitions = 4)
+        val input = io1.stage("input") { files }
+        io1.stage("tokens", upstream = Seq("input")) {
+          Tokenizer.tokenize(input)
+        }
+        // first-run row counts come from the commit manifests (observe()'d
+        // during the write — the lineage metadata exists so downstreams
+        // never re-scan committed data for a cardinality); the CONSISTENCY
+        // check below still re-counts through the fresh TableIO, so the
+        // manifest-vs-recount comparison is part of what the oracle pins
+        val r1 = Seq(
+          "input" -> io1.committedRows("input").getOrElse(-1L),
+          "tokens" -> io1.committedRows("tokens").getOrElse(-1L))
+        // fresh TableIO over the same root: both stages must resume from
+        // the committed snapshots (manifest present, same row counts)
+        val io2 = new graft.io.TableIO(s, dir)
+        val resumed = Seq(
+          ("input", io2.isCommitted("input"), io2.read("input").count()),
+          ("tokens", io2.isCommitted("tokens"), io2.read("tokens").count()))
+        r1.zip(resumed).map { case ((st, n), (_, committed, n2)) =>
+          (st, n, committed && n == n2)
+        }.toDF("stage", "rows", "resume_consistent")
+      } finally {
+        // the committed stages are single-use fixture state; the result
+        // rows above are already local values, so the tree can go now
+        // (repeated bench passes must not pile scratch up, least of all
+        // on tmpfs)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
-      // first-run row counts come from the commit manifests (observe()'d
-      // during the write — the lineage metadata exists so downstreams
-      // never re-scan committed data for a cardinality); the CONSISTENCY
-      // check below still re-counts through the fresh TableIO, so the
-      // manifest-vs-recount comparison is part of what the oracle pins
-      val r1 = Seq(
-        "input" -> io1.committedRows("input").getOrElse(-1L),
-        "tokens" -> io1.committedRows("tokens").getOrElse(-1L))
-      // fresh TableIO over the same root: both stages must resume from
-      // the committed snapshots (manifest present, same row counts)
-      val io2 = new graft.io.TableIO(s, dir)
-      val resumed = Seq(
-        ("input", io2.isCommitted("input"), io2.read("input").count()),
-        ("tokens", io2.isCommitted("tokens"), io2.read("tokens").count()))
-      r1.zip(resumed).map { case ((st, n), (_, committed, n2)) =>
-        (st, n, committed && n == n2)
-      }.toDF("stage", "rows", "resume_consistent")
     }),
     // durable-CC kill-and-resume: run the closure loop capped at 2 rounds
     // with snapshots every 2 (leaves cc_round_2 committed — the "killed
@@ -921,10 +959,10 @@ object SparkEntry {
     // uninterrupted run produces.
     "q_cc_resume" -> ((s, _) => {
       reg(s)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_cc_resume")
+      val dir = scratchDir("graft_cc_resume")
       try {
-        val files = RepoFiles.generate(s, nFiles = 1000, seed = 42L)
+        val files = RepoFiles.generate(s, nFiles = 1000, seed = 42L,
+          partitions = genParts(s, 1000))
         val tokens =
           Tokenizer.pruneCommon(Tokenizer.tokenize(files), knownFileCount = 1000)
         val edges = Scoring.edges(Scoring.score(
@@ -962,7 +1000,8 @@ object SparkEntry {
     // ---- the linkage pipeline itself (north rule; rows-only) ----
     "q_linkage_clusters" -> ((s, dir) => {
       reg(s)
-      val files = RepoFiles.generate(s, nFiles = 1000, seed = 42L)
+      val files = RepoFiles.generate(s, nFiles = 1000, seed = 42L,
+        partitions = genParts(s, 1000))
       val tokens =
         Tokenizer.pruneCommon(Tokenizer.tokenize(files), knownFileCount = 1000)
       val keys = Blocking.blockingKeys(tokens)

@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Scan-parallelism repair (guide §2.5 "input skew"): a small or
+    * unsplittable input arrives in fewer partitions than there are
+    * cores, so the expensive per-row work downstream (md5-per-shingle
+    * signatures, per-token hash votes) serializes onto a handful of
+    * tasks. Round-robin repartition to the default parallelism ONLY in
+    * that under-partitioned case — a 100-TB table already arrives in
+    * thousands of scan splits and must not be re-shuffled.
+    */
+  private def spreadScan(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, parallelism / 2))
+      df.repartition(parallelism)
+    else df
+  }
+
   /** Exact dedup: group identical normalized content, keep the smallest id
     * as canonical. Output: (id, canonical_id, group_size).
     */
@@ -67,8 +82,8 @@ object Dedup {
     // downstream join shuffles anyway, so holding it (memory, spilling to
     // disk) is strictly cheaper than a second full tokenize+hash pass —
     // the guide §5 "reused AND recompute is more expensive" case.
-    val sigs = df
-      .select(col(idCol).as("id"),
+    val sigs = spreadScan(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"),
         minhashSignature(col(textCol), numHashes).as("sig"))
       .localCheckpoint()
 
@@ -139,6 +154,10 @@ object Dedup {
     * [[graft.functions.MinHashFunctions]]).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // no spreadScan here: the per-row work (tokenize + md5 per token) is
+    // an order of magnitude lighter than a MinHash signature, and the
+    // repartition's shuffle + task wave measurably costs more than the
+    // parallelism buys at under-partitioned fixture sizes
     graft.functions.GraftFunctions.register(df.sparkSession)
     val tokens = df.select(
       col(idCol).as("id"),
