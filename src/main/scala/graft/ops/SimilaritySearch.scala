@@ -111,8 +111,11 @@ object SimilaritySearch {
   def lshProjections(vec: Column, dim: Int, nPlanes: Int,
       seed: Int): Column =
     array((0 until nPlanes).map { p =>
-      val signs = array((0 until dim).map(d =>
-        lit(planeSign(seed, p, d))): _*)
+      // one array literal per plane (not dim individual lit nodes): the
+      // same fold over the same values, but the expression tree is dim x
+      // smaller, which is what the per-invocation analysis/optimization
+      // of the probe side actually pays for
+      val signs = typedLit((0 until dim).map(d => planeSign(seed, p, d)))
       aggregate(
         zip_with(vec, signs, (x, h) => x.cast("double") * h),
         lit(0.0), (acc, x) => acc + x)
