@@ -269,10 +269,15 @@ object Dedup {
       df.select(col(idCol).as("file_id"),
         coalesce(length(col(textCol)), lit(-1)).as("tlen")),
       Seq("file_id"))
-    val mx = withLen.groupBy("cluster_id").agg(max("tlen").as("mlen"))
-    val rep = withLen.join(mx, Seq("cluster_id"))
-      .where(col("tlen") === col("mlen"))
-      .groupBy("cluster_id").agg(min("file_id").as("rep_id"))
+    // keeper rule (longest text, ties to lowest id) as ONE map-side-
+    // combinable aggregation: structs compare field-by-field, so
+    // min(struct(-tlen, file_id)) is exactly (max tlen, then min id) —
+    // the previous max-len pass + filter + min-id pass + extra join
+    // computed the same representative in two shuffles instead of one
+    val rep = withLen.groupBy("cluster_id")
+      .agg(min(struct((lit(0) - col("tlen")).as("neg_len"),
+        col("file_id").as("rid"))).as("best"))
+      .select(col("cluster_id"), col("best.rid").as("rep_id"))
     withLen.join(rep, Seq("cluster_id"))
       .select(col("file_id").as("id"), col("cluster_id"),
         (col("file_id") === col("rep_id")).as("keep"))
