@@ -33,8 +33,29 @@ final class TableIO(spark: SparkSession, root: String) {
 
   def isCommitted(stage: String): Boolean = fs.exists(manifestPath(stage))
 
+  /** Committed schema from the stage manifest (recorded at commit for
+    * unpartitioned stages), so [[read]] skips the per-read footer
+    * schema-inference pass — the catalog role Iceberg metadata plays.
+    * Base64-wrapped because raw schema JSON carries every character the
+    * manifest format forbids.
+    */
+  private def committedSchema(stage: String): Option[org.apache.spark.sql.types.StructType] =
+    manifest(stage).flatMap { m =>
+      "\"schema_b64\":\"([A-Za-z0-9+/=]*)\"".r.findFirstMatchIn(m)
+        .map(_.group(1))
+    }.flatMap { b64 =>
+      try Some(org.apache.spark.sql.types.DataType
+        .fromJson(new String(
+          java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      catch { case _: Exception => None } // fall back to inference
+    }
+
   def read(stage: String): DataFrame =
-    spark.read.parquet(stageDir(stage).toString)
+    committedSchema(stage) match {
+      case Some(s) => spark.read.schema(s).parquet(stageDir(stage).toString)
+      case None => spark.read.parquet(stageDir(stage).toString)
+    }
 
   /** Run `compute` and commit its result as `stage`, unless a committed
     * snapshot already exists (resume path). Returns the stage DataFrame.
@@ -120,6 +141,14 @@ final class TableIO(spark: SparkSession, root: String) {
     val metaJson = metadata.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString(",")
+    // committed schema (unpartitioned stages only: an explicit schema on
+    // a partitioned read would reorder partition columns vs inference,
+    // and hive-partitioned stages keep the inference path)
+    val schemaB64 =
+      if (partitionBy.isEmpty)
+        java.util.Base64.getEncoder.encodeToString(
+          df.schema.json.getBytes(StandardCharsets.UTF_8))
+      else ""
     // opaque per-commit identity + the upstream tokens this output was
     // computed against — the staleness guard compares these by equality
     val commitToken = java.util.UUID.randomUUID().toString
@@ -136,6 +165,7 @@ final class TableIO(spark: SparkSession, root: String) {
          |"upstream":[${upstream.map(u => "\"" + u + "\"").mkString(",")}],
          |"upstream_tokens":{$upTokens},
          |"commit_token":"$commitToken",
+         |"schema_b64":"$schemaB64",
          |"metadata":{$metaJson},
          |"elapsed_ms":$elapsedMs,
          |"committed_at":"${java.time.Instant.now()}"}""".stripMargin
