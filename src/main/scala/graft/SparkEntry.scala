@@ -79,12 +79,12 @@ object SparkEntry {
     */
   private def tokensDf(s: SparkSession, tokens: Seq[String]): DataFrame = {
     import s.implicits._
-    s.sparkContext.parallelize(tokens, 1).toDF("token")
+    tokens.toDF("token").coalesce(1)
   }
 
   private def pairsDf(s: SparkSession, pairs: Seq[(String, String)]): DataFrame = {
     import s.implicits._
-    s.sparkContext.parallelize(pairs, 1).toDF("token_a", "token_b")
+    pairs.toDF("token_a", "token_b").coalesce(1)
   }
 
   /** Golden-vector unary-encoder query: encode the reference's own test
