@@ -977,7 +977,13 @@ object SparkEntry {
         val files = RepoFiles.generate(s, nFiles = 1000, seed = 42L,
           partitions = genParts(s, 1000))
         val tokens =
-          Tokenizer.pruneCommon(Tokenizer.tokenize(files), knownFileCount = 1000)
+          Tokenizer.pruneCommon(
+          // tokenize materialized once: pruneCommon's document-frequency
+          // branch and its pruning join would otherwise each re-run the
+          // generate+tokenize chain (the staged-pipeline equivalent is
+          // the committed tokens stage in LinkagePipeline)
+          Tokenizer.tokenize(files).localCheckpoint(),
+          knownFileCount = 1000)
         val edges = Scoring.edges(Scoring.score(
           Blocking.candidatePairs(Blocking.blockingKeys(tokens))))
           .localCheckpoint() // one edge materialization shared by both runs
@@ -1016,7 +1022,13 @@ object SparkEntry {
       val files = RepoFiles.generate(s, nFiles = 1000, seed = 42L,
         partitions = genParts(s, 1000))
       val tokens =
-        Tokenizer.pruneCommon(Tokenizer.tokenize(files), knownFileCount = 1000)
+        Tokenizer.pruneCommon(
+          // tokenize materialized once: pruneCommon's document-frequency
+          // branch and its pruning join would otherwise each re-run the
+          // generate+tokenize chain (the staged-pipeline equivalent is
+          // the committed tokens stage in LinkagePipeline)
+          Tokenizer.tokenize(files).localCheckpoint(),
+          knownFileCount = 1000)
       val keys = Blocking.blockingKeys(tokens)
       val pairs = Blocking.candidatePairs(keys)
       val edges = Scoring.edges(Scoring.score(pairs))
