@@ -119,23 +119,33 @@ object Blocking {
     * @param degenerateBlockSize blocks above this are dropped wholesale
     *                            (boilerplate codes with no linkage
     *                            signal).
+    * @param materializeKeys     checkpoint `keys` so the sizing aggregate
+    *                            and the pairing join (two plan branches;
+    *                            only the sizing branch ends in an
+    *                            exchange) evaluate the blocking-key
+    *                            projection ONCE instead of twice — the
+    *                            right default when `keys` is the raw
+    *                            12-encoder projection (Beider-Morse
+    *                            included). Pass false when `keys` is
+    *                            already a committed/persisted table
+    *                            (e.g. a TableIO stage): re-reading it
+    *                            twice is cheaper than holding an
+    *                            in-memory copy of a durable table.
     */
   def candidatePairs(
       keys: DataFrame,
       maxBlockSize: Int = 10000,
       window: Int = 3,
-      degenerateBlockSize: Int = 1000000): DataFrame = {
+      degenerateBlockSize: Int = 1000000,
+      materializeKeys: Boolean = true): DataFrame = {
     require(degenerateBlockSize >= maxBlockSize,
       s"degenerateBlockSize $degenerateBlockSize < maxBlockSize $maxBlockSize")
-    // Materialize the key table ONCE: the sizing aggregate below and the
-    // pairing join are two branches over `keys`, and only the sizing
-    // branch ends in an exchange — without this the whole blocking-key
-    // projection (12 encoders, Beider-Morse included) runs twice per
-    // input row. The checkpoint holds exactly what the window exchange
-    // shuffles next anyway (key, file_id, token) and spills to disk under
-    // pressure; at warehouse scale the keys table is a persisted TableIO
-    // stage and this materialization is that stage's in-memory analogue.
-    val keyRows = keys.localCheckpoint()
+    // see @param materializeKeys; the checkpoint holds exactly what the
+    // window exchange shuffles next anyway (key, file_id, token) and
+    // spills to disk under pressure (interleaved A/B at 200k and 800k
+    // files: parity-to-faster vs the recompute-twice shape, identical
+    // pair counts — tools/PairsProbe)
+    val keyRows = if (materializeKeys) keys.localCheckpoint() else keys
     // Block sizing WITHOUT a per-key window: a count(*) over
     // Window.partitionBy(key) would funnel every row of a degenerate block
     // through one task before it can be discarded. groupBy gets map-side

@@ -47,7 +47,10 @@ final class LinkagePipeline(
     }
 
     val pairs = io.stage("candidate_pairs", upstream = Seq("blocking_keys")) {
-      Blocking.candidatePairs(keys, maxBlockSize, neighborWindow)
+      // keys is a committed stage: the sizing and pairing branches
+      // re-read durable parquet instead of pinning an in-memory copy
+      Blocking.candidatePairs(keys, maxBlockSize, neighborWindow,
+        materializeKeys = false)
     }
 
     val scored = io.stage("scored_pairs", upstream = Seq("candidate_pairs")) {

@@ -158,11 +158,11 @@ object StreamingDriverQueries {
           java.nio.file.Files.isWritable(shm))
         Some(java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_"))
       else None
-    // the override is restored only after the query is fully stopped (the
-    // stream captures the setting during micro-batch planning, which runs
-    // asynchronously after start()) — and on EVERY exit path, including
-    // start() itself throwing, so a failed streaming query can never leak
-    // partitions=2 into the rest of the session
+    // the overrides are restored only after the query is fully stopped
+    // (the stream captures settings during micro-batch planning, which
+    // runs asynchronously after start()) — and on EVERY exit path,
+    // including start() itself throwing, so a failed streaming query can
+    // never leak the overrides into the rest of the session
     try {
       var writer = out.writeStream
         .format("memory").queryName(name).outputMode("append")
